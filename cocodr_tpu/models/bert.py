@@ -1,0 +1,355 @@
+"""TPU-native flax BERT encoder.
+
+From-scratch implementation of the BERT/RoBERTa-family backbone the reference
+gets from HF transformers (reference ANCE/model/models.py:194-232,
+COCO/modeling.py:34-131). Design points:
+
+- post-LayerNorm transformer, exact-erf GELU, HF-compatible shapes so the
+  published COCO-DR checkpoints convert 1:1 (see models/hf.py).
+- layers are stacked with `nn.scan` (single compiled layer body, weights with
+  a leading `layer` axis) — fast compile for 12/24-layer towers, and the
+  stacked layout makes last-k-layer selection for iDRO a simple slice.
+- all hidden states are returned (Condenser consumes `hidden_states[skip_from]`,
+  reference COCO/modeling.py:70-73).
+- params in fp32, compute in a configurable dtype (bf16 on TPU); attention
+  softmax and LayerNorm statistics accumulate in fp32.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Callable, Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+Dtype = Any
+
+
+@dataclasses.dataclass(frozen=True)
+class BertConfig:
+    vocab_size: int = 30522
+    hidden_size: int = 768
+    num_hidden_layers: int = 12
+    num_attention_heads: int = 12
+    intermediate_size: int = 3072
+    hidden_act: str = "gelu"
+    hidden_dropout_prob: float = 0.1
+    attention_probs_dropout_prob: float = 0.1
+    max_position_embeddings: int = 512
+    type_vocab_size: int = 2
+    initializer_range: float = 0.02
+    layer_norm_eps: float = 1e-12
+    pad_token_id: int = 0
+    # flax-side knobs
+    dtype: Dtype = jnp.float32
+    remat: bool = False
+
+    @classmethod
+    def base(cls, **kw) -> "BertConfig":
+        return cls(**kw)
+
+    @classmethod
+    def large(cls, **kw) -> "BertConfig":
+        return cls(
+            hidden_size=1024,
+            num_hidden_layers=24,
+            num_attention_heads=16,
+            intermediate_size=4096,
+            **kw,
+        )
+
+    @classmethod
+    def tiny(cls, **kw) -> "BertConfig":
+        """For tests."""
+        return cls(
+            vocab_size=128,
+            hidden_size=32,
+            num_hidden_layers=2,
+            num_attention_heads=4,
+            intermediate_size=64,
+            max_position_embeddings=64,
+            **kw,
+        )
+
+    @property
+    def head_dim(self) -> int:
+        return self.hidden_size // self.num_attention_heads
+
+
+def _act(name: str) -> Callable:
+    if name == "gelu":
+        return lambda x: jax.nn.gelu(x, approximate=False)
+    if name == "gelu_new":
+        return lambda x: jax.nn.gelu(x, approximate=True)
+    if name == "relu":
+        return jax.nn.relu
+    raise ValueError(f"unknown activation {name}")
+
+
+def _dense_init(cfg: BertConfig):
+    return nn.initializers.normal(stddev=cfg.initializer_range)
+
+
+class LayerNorm(nn.Module):
+    """LayerNorm with fp32 statistics regardless of compute dtype."""
+
+    eps: float
+    dtype: Dtype
+
+    @nn.compact
+    def __call__(self, x):
+        dim = x.shape[-1]
+        scale = self.param("scale", nn.initializers.ones, (dim,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (dim,), jnp.float32)
+        x32 = x.astype(jnp.float32)
+        mean = jnp.mean(x32, axis=-1, keepdims=True)
+        var = jnp.mean(jnp.square(x32 - mean), axis=-1, keepdims=True)
+        y = (x32 - mean) * jax.lax.rsqrt(var + self.eps)
+        y = y * scale + bias
+        return y.astype(self.dtype)
+
+
+class BertEmbeddings(nn.Module):
+    cfg: BertConfig
+
+    @nn.compact
+    def __call__(self, input_ids, token_type_ids, position_ids, *, deterministic):
+        cfg = self.cfg
+        word = nn.Embed(
+            cfg.vocab_size,
+            cfg.hidden_size,
+            embedding_init=_dense_init(cfg),
+            param_dtype=jnp.float32,
+            dtype=cfg.dtype,
+            name="word_embeddings",
+        )
+        pos = nn.Embed(
+            cfg.max_position_embeddings,
+            cfg.hidden_size,
+            embedding_init=_dense_init(cfg),
+            param_dtype=jnp.float32,
+            dtype=cfg.dtype,
+            name="position_embeddings",
+        )
+        typ = nn.Embed(
+            cfg.type_vocab_size,
+            cfg.hidden_size,
+            embedding_init=_dense_init(cfg),
+            param_dtype=jnp.float32,
+            dtype=cfg.dtype,
+            name="token_type_embeddings",
+        )
+        h = word(input_ids) + pos(position_ids) + typ(token_type_ids)
+        h = LayerNorm(cfg.layer_norm_eps, cfg.dtype, name="layer_norm")(h)
+        h = nn.Dropout(cfg.hidden_dropout_prob)(h, deterministic=deterministic)
+        return h
+
+    def attend(self, h):
+        """Tied-decoder logits: h @ word_embeddings.T (for the MLM head)."""
+        return self.word_embeddings.attend(h)
+
+
+class BertSelfAttention(nn.Module):
+    cfg: BertConfig
+
+    @nn.compact
+    def __call__(self, h, attn_bias, *, deterministic):
+        cfg = self.cfg
+        B, S, H = h.shape
+        N, D = cfg.num_attention_heads, cfg.head_dim
+
+        def proj(name):
+            return nn.DenseGeneral(
+                (N, D),
+                kernel_init=_dense_init(cfg),
+                param_dtype=jnp.float32,
+                dtype=cfg.dtype,
+                name=name,
+            )(h)
+
+        q, k, v = proj("query"), proj("key"), proj("value")
+        scale = 1.0 / jnp.sqrt(D).astype(jnp.float32)
+        # fp32 logits + softmax for stability under bf16 compute.
+        scores = jnp.einsum(
+            "bqnd,bknd->bnqk", q, k, preferred_element_type=jnp.float32
+        )
+        scores = scores * scale + attn_bias
+        probs = jax.nn.softmax(scores, axis=-1)
+        probs = nn.Dropout(cfg.attention_probs_dropout_prob)(
+            probs, deterministic=deterministic
+        ).astype(cfg.dtype)
+        ctx = jnp.einsum("bnqk,bknd->bqnd", probs, v)
+        out = nn.DenseGeneral(
+            H,
+            axis=(-2, -1),
+            kernel_init=_dense_init(cfg),
+            param_dtype=jnp.float32,
+            dtype=cfg.dtype,
+            name="output",
+        )(ctx)
+        return out
+
+
+class BertLayer(nn.Module):
+    """One post-LN transformer block (also used standalone as Condenser c_head)."""
+
+    cfg: BertConfig
+
+    @nn.compact
+    def __call__(self, h, attn_bias, *, deterministic):
+        cfg = self.cfg
+        attn_out = BertSelfAttention(cfg, name="attention")(
+            h, attn_bias, deterministic=deterministic
+        )
+        attn_out = nn.Dropout(cfg.hidden_dropout_prob)(
+            attn_out, deterministic=deterministic
+        )
+        h = LayerNorm(cfg.layer_norm_eps, cfg.dtype, name="attention_layer_norm")(
+            h + attn_out
+        )
+        ffn = nn.Dense(
+            cfg.intermediate_size,
+            kernel_init=_dense_init(cfg),
+            param_dtype=jnp.float32,
+            dtype=cfg.dtype,
+            name="intermediate",
+        )(h)
+        ffn = _act(cfg.hidden_act)(ffn)
+        ffn = nn.Dense(
+            cfg.hidden_size,
+            kernel_init=_dense_init(cfg),
+            param_dtype=jnp.float32,
+            dtype=cfg.dtype,
+            name="ffn_output",
+        )(ffn)
+        ffn = nn.Dropout(cfg.hidden_dropout_prob)(ffn, deterministic=deterministic)
+        h = LayerNorm(cfg.layer_norm_eps, cfg.dtype, name="output_layer_norm")(
+            h + ffn
+        )
+        return h
+
+
+class BertEncoder(nn.Module):
+    """Layer stack via nn.scan: params get a leading `layer` axis."""
+
+    cfg: BertConfig
+
+    @nn.compact
+    def __call__(self, h, attn_bias, *, deterministic):
+        cfg = self.cfg
+
+        class Body(nn.Module):
+            cfg: BertConfig
+
+            @nn.compact
+            def __call__(self, carry, _):
+                out = BertLayer(self.cfg, name="layer")(
+                    carry, attn_bias, deterministic=deterministic
+                )
+                return out, out
+
+        body = Body
+        if cfg.remat:
+            body = nn.remat(
+                Body,
+                static_argnums=(),
+                prevent_cse=False,
+            )
+        stack = nn.scan(
+            body,
+            variable_axes={"params": 0},
+            split_rngs={"params": True, "dropout": True},
+            length=cfg.num_hidden_layers,
+            metadata_params={nn.PARTITION_NAME: "layer"},
+        )(cfg, name="layers")
+        last, all_h = stack(h, None)
+        # hidden_states: (embeddings, layer1, ..., layerN) like HF
+        hidden_states = jnp.concatenate(
+            [h[None], all_h], axis=0
+        )  # [L+1, B, S, H]
+        return last, hidden_states
+
+
+class BertPooler(nn.Module):
+    cfg: BertConfig
+
+    @nn.compact
+    def __call__(self, h):
+        cls = h[:, 0]
+        out = nn.Dense(
+            self.cfg.hidden_size,
+            kernel_init=_dense_init(self.cfg),
+            param_dtype=jnp.float32,
+            dtype=self.cfg.dtype,
+            name="dense",
+        )(cls)
+        return jnp.tanh(out)
+
+
+class BertModel(nn.Module):
+    """Backbone. Returns (last_hidden_state, hidden_states[L+1,B,S,H], pooled)."""
+
+    cfg: BertConfig
+    with_pooler: bool = False
+
+    def setup(self):
+        self.embeddings = BertEmbeddings(self.cfg)
+        self.encoder = BertEncoder(self.cfg)
+        if self.with_pooler:
+            self.pooler = BertPooler(self.cfg)
+
+    def __call__(
+        self,
+        input_ids,
+        attention_mask=None,
+        token_type_ids=None,
+        position_ids=None,
+        deterministic: bool = True,
+    ):
+        B, S = input_ids.shape
+        if attention_mask is None:
+            attention_mask = jnp.ones((B, S), jnp.int32)
+        if token_type_ids is None:
+            token_type_ids = jnp.zeros((B, S), jnp.int32)
+        if position_ids is None:
+            position_ids = jnp.arange(S, dtype=jnp.int32)[None, :]
+        h = self.embeddings(
+            input_ids, token_type_ids, position_ids, deterministic=deterministic
+        )
+        attn_bias = make_attention_bias(attention_mask)
+        last, hidden_states = self.encoder(
+            h, attn_bias, deterministic=deterministic
+        )
+        pooled = self.pooler(last) if self.with_pooler else None
+        return last, hidden_states, pooled
+
+    def mlm_logits_from_embed(self, transformed):
+        """Tied decoder: logits over the vocabulary from transformed hiddens."""
+        return self.embeddings.attend(transformed)
+
+
+class BertMLMTransform(nn.Module):
+    """HF `cls.predictions.transform` (dense + act + LN); decoder is tied."""
+
+    cfg: BertConfig
+
+    @nn.compact
+    def __call__(self, h):
+        cfg = self.cfg
+        h = nn.Dense(
+            cfg.hidden_size,
+            kernel_init=_dense_init(cfg),
+            param_dtype=jnp.float32,
+            dtype=cfg.dtype,
+            name="dense",
+        )(h)
+        h = _act(cfg.hidden_act)(h)
+        h = LayerNorm(cfg.layer_norm_eps, cfg.dtype, name="layer_norm")(h)
+        return h
+
+
+def make_attention_bias(attention_mask, dtype=jnp.float32):
+    """[B,S] 0/1 mask -> additive [B,1,1,S] bias (0 keep, -1e9 drop)."""
+    mask = attention_mask[:, None, None, :].astype(dtype)
+    return (1.0 - mask) * jnp.asarray(-1e9, dtype)
