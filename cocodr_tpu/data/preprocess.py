@@ -1,0 +1,194 @@
+"""Offline tokenization to binary record files.
+
+Rebuild of the preprocessing front-ends:
+- MS MARCO passages/queries/qrels (reference ANCE/data/msmarco_data.py:21-295)
+- BEIR corpus.jsonl / queries.jsonl / qrels tsv with string-id maps
+  (reference evaluate/data/beir_data.py:38-334)
+
+Behavioral parity points:
+- doc data_type=0 joins url/title/body with '<sep>' and keeps the first
+  `max_doc_character` (10000) chars (msmarco_data.py:250-259).
+- condenser-family models lowercase text before tokenizing
+  (msmarco_data.py:265-266,283-285 — gated on 'condenser' in model_type).
+- BEIR concatenates title + ' ' + text, lowercases, and maps string doc ids
+  through p/qchar2pid pickles (beir_data.py:85-117,278-296).
+- qrels are rewritten into offset space (msmarco_data.py:106-128).
+
+Tokenization runs offline (not in the training hot path) with any HF
+tokenizer; records carry [CLS]...[SEP] ids padded to max_len.
+"""
+from __future__ import annotations
+
+import csv
+import gzip
+import json
+import os
+import re
+from typing import Callable, Dict, Iterable, Optional, Tuple
+
+from cocodr_tpu.data.records import (
+    RecordWriter,
+    save_id_map,
+    write_qrels,
+)
+
+MAX_DOC_CHARACTER = 10000
+
+
+def _encode(tokenizer, text: str, max_len: int):
+    return tokenizer.encode(
+        text, add_special_tokens=True, max_length=max_len, truncation=True
+    )
+
+
+def _maybe_lower(text: str, lowercase: bool) -> str:
+    return text.lower() if lowercase else text
+
+
+def tokenize_msmarco_passages(
+    collection_tsv: str,
+    out_path: str,
+    tokenizer,
+    max_len: int,
+    lowercase: bool = False,
+    data_type: int = 1,
+) -> Dict[int, int]:
+    """collection.tsv (pid \t text) or msmarco-docs.tsv -> records + pid2offset."""
+    pid2offset: Dict[int, int] = {}
+    with RecordWriter(out_path, max_len) as w, open(
+        collection_tsv, encoding="utf8"
+    ) as f:
+        for line in f:
+            arr = line.rstrip("\n").split("\t")
+            if data_type == 0:
+                pid = int(arr[0][1:])  # strip leading 'D'
+                text = (
+                    arr[1].rstrip()
+                    + "<sep>"
+                    + arr[2].rstrip()
+                    + "<sep>"
+                    + arr[3].rstrip()
+                )
+            else:
+                pid = int(arr[0])
+                text = _maybe_lower(arr[1].rstrip(), lowercase)
+            text = text[:MAX_DOC_CHARACTER]
+            pid2offset[pid] = w.write(_encode(tokenizer, text, max_len))
+    save_id_map(pid2offset, out_path + ".pid2offset.pickle")
+    return pid2offset
+
+
+def tokenize_queries(
+    queries_tsv: str,
+    out_path: str,
+    tokenizer,
+    max_len: int,
+    lowercase: bool = False,
+) -> Dict[int, int]:
+    qid2offset: Dict[int, int] = {}
+    with RecordWriter(out_path, max_len) as w, open(
+        queries_tsv, encoding="utf8"
+    ) as f:
+        for line in f:
+            arr = line.rstrip("\n").split("\t")
+            qid = int(arr[0])
+            text = _maybe_lower(arr[1].rstrip(), lowercase)
+            qid2offset[qid] = w.write(_encode(tokenizer, text, max_len))
+    save_id_map(qid2offset, out_path + ".qid2offset.pickle")
+    return qid2offset
+
+
+def rewrite_qrels(
+    qrels_path: str,
+    out_path: str,
+    qid2offset: Dict[int, int],
+    pid2offset: Dict[int, int],
+    delimiter: str = "\t",
+    docid_prefix: bool = False,
+):
+    """TREC qrels (qid, _, docid, rel) -> offset-space tsv."""
+    opener = (
+        gzip.open(qrels_path, "rt", encoding="utf8")
+        if qrels_path.endswith("gz")
+        else open(qrels_path, encoding="utf8")
+    )
+    rows = []
+    with opener as f:
+        for parts in csv.reader(f, delimiter=delimiter):
+            if len(parts) != 4:
+                continue
+            topicid, _, docid, rel = parts
+            docid = int(docid[1:]) if docid_prefix else int(docid)
+            rows.append((qid2offset[int(topicid)], pid2offset[docid], int(rel)))
+    write_qrels(out_path, rows)
+    return rows
+
+
+# ---------------------------------------------------------------------------
+# BEIR
+_ROBUST04_CLEAN = re.compile(r"\s+")
+
+
+def _beir_doc_text(doc: dict, clean: bool = False) -> str:
+    title = (doc.get("title") or "").rstrip()
+    text = (doc.get("text") or "").rstrip()
+    full = (title + " " + text).lower() if title else text.lower()
+    if clean:
+        full = _ROBUST04_CLEAN.sub(" ", full)
+    return full
+
+
+def tokenize_beir_corpus(
+    corpus_jsonl: str,
+    out_path: str,
+    tokenizer,
+    max_len: int,
+    clean: bool = False,
+) -> Dict[str, int]:
+    """BEIR corpus.jsonl -> records + string-id map (pchar2pid equivalent)."""
+    docid2offset: Dict[str, int] = {}
+    with RecordWriter(out_path, max_len) as w, open(
+        corpus_jsonl, encoding="utf8"
+    ) as f:
+        for line in f:
+            doc = json.loads(line)
+            docid2offset[str(doc["_id"])] = w.write(
+                _encode(tokenizer, _beir_doc_text(doc, clean), max_len)
+            )
+    save_id_map(docid2offset, out_path + ".docid2offset.pickle")
+    return docid2offset
+
+
+def tokenize_beir_queries(
+    queries_jsonl: str,
+    out_path: str,
+    tokenizer,
+    max_len: int,
+    keep: Optional[set] = None,
+) -> Dict[str, int]:
+    qid2offset: Dict[str, int] = {}
+    with RecordWriter(out_path, max_len) as w, open(
+        queries_jsonl, encoding="utf8"
+    ) as f:
+        for line in f:
+            q = json.loads(line)
+            qid = str(q["_id"])
+            if keep is not None and qid not in keep:
+                continue
+            qid2offset[qid] = w.write(
+                _encode(tokenizer, q["text"].lower(), max_len)
+            )
+    save_id_map(qid2offset, out_path + ".qid2offset.pickle")
+    return qid2offset
+
+
+def load_beir_qrels(qrels_tsv: str) -> Dict[str, Dict[str, int]]:
+    """BEIR qrels/test.tsv (query-id \t corpus-id \t score, with header)."""
+    out: Dict[str, Dict[str, int]] = {}
+    with open(qrels_tsv, encoding="utf8") as f:
+        reader = csv.reader(f, delimiter="\t")
+        header = next(reader)
+        assert header[0].lower().replace("_", "-") in ("query-id", "qid"), header
+        for qid, did, score in reader:
+            out.setdefault(str(qid), {})[str(did)] = int(score)
+    return out

@@ -113,41 +113,44 @@ class LayerNorm(nn.Module):
 class BertEmbeddings(nn.Module):
     cfg: BertConfig
 
-    @nn.compact
-    def __call__(self, input_ids, token_type_ids, position_ids, *, deterministic):
+    def setup(self):
         cfg = self.cfg
-        word = nn.Embed(
+        self.word_embeddings = nn.Embed(
             cfg.vocab_size,
             cfg.hidden_size,
             embedding_init=_dense_init(cfg),
             param_dtype=jnp.float32,
             dtype=cfg.dtype,
-            name="word_embeddings",
         )
-        pos = nn.Embed(
+        self.position_embeddings = nn.Embed(
             cfg.max_position_embeddings,
             cfg.hidden_size,
             embedding_init=_dense_init(cfg),
             param_dtype=jnp.float32,
             dtype=cfg.dtype,
-            name="position_embeddings",
         )
-        typ = nn.Embed(
+        self.token_type_embeddings = nn.Embed(
             cfg.type_vocab_size,
             cfg.hidden_size,
             embedding_init=_dense_init(cfg),
             param_dtype=jnp.float32,
             dtype=cfg.dtype,
-            name="token_type_embeddings",
         )
-        h = word(input_ids) + pos(position_ids) + typ(token_type_ids)
-        h = LayerNorm(cfg.layer_norm_eps, cfg.dtype, name="layer_norm")(h)
-        h = nn.Dropout(cfg.hidden_dropout_prob)(h, deterministic=deterministic)
-        return h
+        self.layer_norm = LayerNorm(cfg.layer_norm_eps, cfg.dtype)
+        self.dropout = nn.Dropout(cfg.hidden_dropout_prob)
+
+    def __call__(self, input_ids, token_type_ids, position_ids, *, deterministic):
+        h = (
+            self.word_embeddings(input_ids)
+            + self.position_embeddings(position_ids)
+            + self.token_type_embeddings(token_type_ids)
+        )
+        h = self.layer_norm(h)
+        return self.dropout(h, deterministic=deterministic)
 
     def attend(self, h):
         """Tied-decoder logits: h @ word_embeddings.T (for the MLM head)."""
-        return self.word_embeddings.attend(h)
+        return self.word_embeddings.attend(h.astype(jnp.float32))
 
 
 class BertSelfAttention(nn.Module):

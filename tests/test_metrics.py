@@ -1,0 +1,75 @@
+"""Metric correctness on hand-computed cases (trec_eval semantics)."""
+import math
+
+import numpy as np
+import pytest
+
+from cocodr_tpu.evals.metrics import (
+    evaluate_run,
+    hole_rate_at_k,
+    map_at_k,
+    ndcg_at_k,
+    recall_at_k,
+    recip_rank,
+    run_from_topk,
+)
+from cocodr_tpu.evals.msmarco import compute_mrr, quality_checks
+
+
+def test_ndcg_hand_case():
+    # graded qrels: d1=3, d2=1, d5=2 ; ranking: d2, d9, d1
+    qrel = {"d1": 3, "d2": 1, "d5": 2}
+    ranked = ["d2", "d9", "d1"]
+    dcg = 1 / math.log2(2) + 0 + 3 / math.log2(4)
+    idcg = 3 / math.log2(2) + 2 / math.log2(3) + 1 / math.log2(4)
+    assert ndcg_at_k(ranked, qrel, 10) == pytest.approx(dcg / idcg)
+    # perfect ranking -> 1
+    assert ndcg_at_k(["d1", "d5", "d2"], qrel, 10) == pytest.approx(1.0)
+
+
+def test_map_recall_rr():
+    qrel = {"a": 1, "b": 1, "c": 1}  # 3 relevant
+    ranked = ["x", "a", "y", "b"]
+    # AP@10 = (1/2 + 2/4) / 3
+    assert map_at_k(ranked, qrel, 10) == pytest.approx((0.5 + 0.5) / 3)
+    assert recall_at_k(ranked, qrel, 2) == pytest.approx(1 / 3)
+    assert recall_at_k(ranked, qrel, 4) == pytest.approx(2 / 3)
+    assert recip_rank(ranked, qrel) == pytest.approx(0.5)
+    assert recip_rank(["z", "w"], qrel) == 0.0
+
+
+def test_hole_rate():
+    qrel = {"a": 1, "b": 0}  # b judged non-relevant still counts as judged
+    assert hole_rate_at_k(["a", "b", "x", "y"], qrel, 4) == pytest.approx(0.5)
+
+
+def test_evaluate_run_macro_average():
+    qrels = {1: {"a": 1}, 2: {"b": 2}}
+    run = {1: ["a", "x"], 2: ["x", "b"], 3: ["zzz"]}  # q3 unjudged: ignored
+    m = evaluate_run(run, qrels, recall_ks=(1, 2))
+    assert m["num_queries"] == 2
+    assert m["recip_rank"] == pytest.approx((1.0 + 0.5) / 2)
+    assert m["recall_1"] == pytest.approx(0.5)
+    assert m["recall_2"] == pytest.approx(1.0)
+    ndcg_q2 = (2 / math.log2(3)) / (2 / math.log2(2))
+    assert m["ndcg_cut_10"] == pytest.approx((1.0 + ndcg_q2) / 2)
+
+
+def test_run_from_topk_self_skip():
+    ids = np.array([[0, 1, -1], [2, 0, 1]])
+    id_map = {0: "q1", 1: "d1", 2: "d2"}
+    run = run_from_topk(["q1", "q2"], ids, id_map=id_map, skip_self=True)
+    assert run["q1"] == ["d1"]  # self-match and -1 padding dropped
+    assert run["q2"] == ["d2", "q1", "d1"]
+
+
+def test_msmarco_mrr():
+    qrels = {1: [7], 2: [9], 3: [5]}
+    run = {1: [7, 8], 2: [1, 2, 9], 3: [4] * 10}
+    ok, _ = quality_checks({1: [7, 8]})
+    assert ok
+    ok, msg = quality_checks({1: [7, 7]})
+    assert not ok and "multiple times" in msg
+    m = compute_mrr(qrels, run)
+    assert m["MRR @10"] == pytest.approx((1.0 + 1 / 3 + 0.0) / 3)
+    assert m["QueriesRanked"] == 3

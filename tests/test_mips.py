@@ -1,0 +1,104 @@
+"""Exact-MIPS engine vs numpy brute force; distributed merge on 8-dev mesh;
+k-means sanity."""
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax import shard_map
+from jax.sharding import Mesh, PartitionSpec as P
+
+from cocodr_tpu.ops.kmeans import assign_clusters, kmeans
+from cocodr_tpu.ops.mips import mips_topk, mips_topk_chunked_queries
+from cocodr_tpu.parallel.topk import sharded_mips_topk
+
+
+def _brute(q, c, k):
+    scores = q @ c.T
+    ids = np.argsort(-scores, axis=1, kind="stable")[:, :k]
+    vals = np.take_along_axis(scores, ids, axis=1)
+    return vals, ids
+
+
+def test_mips_topk_exact():
+    rng = np.random.RandomState(0)
+    q = rng.randn(13, 24).astype(np.float32)
+    c = rng.randn(1000, 24).astype(np.float32)
+    vals, ids = mips_topk(jnp.asarray(q), jnp.asarray(c), k=17, tile=128)
+    ref_vals, ref_ids = _brute(q, c, 17)
+    np.testing.assert_allclose(np.asarray(vals), ref_vals, atol=1e-4, rtol=1e-5)
+    # ids may differ on exact ties; verify score-equivalence instead
+    got = np.take_along_axis(q @ c.T, np.asarray(ids), axis=1)
+    np.testing.assert_allclose(got, ref_vals, atol=1e-4, rtol=1e-5)
+
+
+def test_mips_topk_k_larger_than_tile():
+    rng = np.random.RandomState(1)
+    q = rng.randn(4, 8).astype(np.float32)
+    c = rng.randn(300, 8).astype(np.float32)
+    vals, ids = mips_topk(jnp.asarray(q), jnp.asarray(c), k=100, tile=64)
+    ref_vals, _ = _brute(q, c, 100)
+    np.testing.assert_allclose(np.asarray(vals), ref_vals, atol=1e-4, rtol=1e-5)
+
+
+def test_mips_topk_unaligned_corpus():
+    rng = np.random.RandomState(2)
+    q = rng.randn(3, 16).astype(np.float32)
+    c = rng.randn(777, 16).astype(np.float32)
+    vals, ids = mips_topk(jnp.asarray(q), jnp.asarray(c), k=10, tile=256)
+    ref_vals, _ = _brute(q, c, 10)
+    np.testing.assert_allclose(np.asarray(vals), ref_vals, atol=1e-4, rtol=1e-5)
+    assert np.asarray(ids).max() < 777
+
+
+def test_chunked_queries():
+    rng = np.random.RandomState(3)
+    q = rng.randn(50, 8).astype(np.float32)
+    c = rng.randn(200, 8).astype(np.float32)
+    vals, ids = mips_topk_chunked_queries(q, c, k=5, q_chunk=16, tile=64)
+    ref_vals, _ = _brute(q, c, 5)
+    np.testing.assert_allclose(vals, ref_vals, atol=1e-4, rtol=1e-5)
+
+
+def test_sharded_mips_topk_8dev():
+    """Corpus sharded over 8 CPU devices; global merge must equal brute force."""
+    rng = np.random.RandomState(4)
+    Q, N, D, K = 6, 1024, 16, 20
+    q = rng.randn(Q, D).astype(np.float32)
+    c = rng.randn(N, D).astype(np.float32)
+    mesh = Mesh(np.array(jax.devices()[:8]), ("data",))
+    shard = N // 8
+
+    def body(q_rep, c_shard):
+        offset = jax.lax.axis_index("data") * shard
+        return sharded_mips_topk(q_rep, c_shard, offset, K, "data", tile=64)
+
+    f = shard_map(
+        body,
+        mesh=mesh,
+        in_specs=(P(), P("data")),
+        out_specs=(P(), P()),
+    )
+    vals, ids = f(jnp.asarray(q), jnp.asarray(c))
+    ref_vals, _ = _brute(q, c, K)
+    np.testing.assert_allclose(np.asarray(vals), ref_vals, atol=1e-4, rtol=1e-5)
+    got = np.take_along_axis(q @ c.T, np.asarray(ids), axis=1)
+    np.testing.assert_allclose(got, ref_vals, atol=1e-4, rtol=1e-5)
+
+
+def test_kmeans_separable():
+    rng = np.random.RandomState(5)
+    centers = np.array([[0, 0], [10, 10], [-10, 10]], np.float32)
+    x = np.concatenate(
+        [c + 0.3 * rng.randn(50, 2).astype(np.float32) for c in centers]
+    )
+    cents, ids = kmeans(jnp.asarray(x), 3, n_iter=20, n_redo=3)
+    ids = np.asarray(ids)
+    # each true blob maps to exactly one cluster
+    blobs = [ids[i * 50 : (i + 1) * 50] for i in range(3)]
+    labels = [np.bincount(b, minlength=3).argmax() for b in blobs]
+    assert len(set(labels)) == 3
+    for b, l in zip(blobs, labels):
+        assert (b == l).mean() == 1.0
+    # assignment fn consistent
+    re_ids = np.asarray(assign_clusters(jnp.asarray(x), cents))
+    np.testing.assert_array_equal(re_ids, ids)
