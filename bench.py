@@ -1,0 +1,100 @@
+#!/usr/bin/env python
+"""Benchmark: corpus-encode throughput (docs/sec) of the flagship dual
+encoder (BERT-base, bf16, S=128) on one TPU chip, plus exact-MIPS QPS.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N, ...extras}
+
+vs_baseline: the reference publishes no throughput numbers (SURVEY.md §6).
+Baseline proxy = 800 docs/sec/GPU — a generous public estimate for BERT-base
+fp16 inference at S=128 on one V100 of the reference's 8-GPU cluster
+(README.md:36 docker pins CUDA 11.3-era hardware).
+
+Timing notes (see .claude/skills/verify/SKILL.md): device results are
+force-read back to host — block_until_ready alone under-reports through the
+axon tunnel; params are device-resident before timing.
+"""
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/repo/.jax_cache")
+
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.environ["JAX_COMPILATION_CACHE_DIR"],
+)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+import dataclasses  # noqa: E402
+
+from cocodr_tpu.models.bert import BertConfig  # noqa: E402
+from cocodr_tpu.models.dual_encoder import build_dual_encoder  # noqa: E402
+
+GPU_BASELINE_DOCS_PER_SEC = 800.0  # single-V100 fp16 proxy, see docstring
+
+
+def bench_encode(batch=128, seq=128, iters=20):
+    cfg = dataclasses.replace(BertConfig(), dtype=jnp.bfloat16)
+    model = build_dual_encoder("rdot_nll_condenser", cfg)
+    ids = jnp.ones((batch, seq), jnp.int32)
+    mask = jnp.ones((batch, seq), jnp.int32)
+    params = jax.device_put(
+        model.init(jax.random.PRNGKey(0), ids[:1], mask[:1])["params"]
+    )
+    enc = jax.jit(
+        lambda p, i, m: model.apply({"params": p}, i, m, method=model.body_emb)
+    )
+    out = enc(params, ids, mask)
+    _ = np.asarray(out)  # compile + sync
+    t0 = time.time()
+    for _ in range(iters):
+        out = enc(params, ids, mask)
+    _ = np.asarray(out)
+    dt = (time.time() - t0) / iters
+    return batch / dt, dt * 1e3
+
+
+def bench_mips(n_docs=1_000_000, dim=768, n_queries=1024, k=100, iters=3):
+    from cocodr_tpu.ops.mips import mips_topk
+
+    corpus = jax.random.normal(jax.random.PRNGKey(0), (n_docs, dim), jnp.bfloat16)
+    queries = jax.random.normal(
+        jax.random.PRNGKey(1), (n_queries, dim), jnp.bfloat16
+    )
+    jax.block_until_ready((corpus, queries))
+    v, _ = mips_topk(queries, corpus, k, tile=32768)
+    _ = np.asarray(v)
+    t0 = time.time()
+    for _ in range(iters):
+        v, _ = mips_topk(queries, corpus, k, tile=32768)
+    _ = np.asarray(v)
+    dt = (time.time() - t0) / iters
+    return n_queries / dt
+
+
+def main():
+    docs_per_sec, ms_per_batch = bench_encode()
+    extras = {"encode_ms_per_batch_128x128": round(ms_per_batch, 2)}
+    try:
+        extras["mips_qps_1M_docs_k100"] = round(bench_mips(), 1)
+    except Exception as e:  # MIPS bench is best-effort (long compile)
+        extras["mips_error"] = str(e)[:200]
+    result = {
+        "metric": "corpus_encode_throughput_bert_base_bf16_s128",
+        "value": round(docs_per_sec, 1),
+        "unit": "docs/sec/chip",
+        "vs_baseline": round(docs_per_sec / GPU_BASELINE_DOCS_PER_SEC, 2),
+        **extras,
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,100 @@
+"""Sharded corpus / query encoding.
+
+Replaces the reference's `StreamInferenceDoc` (rank-sharded streaming encode
++ pickle/filesystem shard merge, reference
+ANCE/drivers/run_ann_data_gen.py:157-249, ANCE/utils/util.py:87-155):
+batches come straight off the memmap/native token cache, are device_put
+sharded over the mesh data axis, and embeddings accumulate on device (or
+host for corpora larger than HBM). No filesystem round-trip.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from cocodr_tpu.core.mesh import DATA_AXIS
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+@dataclasses.dataclass
+class EncodeConfig:
+    batch_size: int = 512
+    to_host: bool = True  # gather embeddings to host numpy
+    emb_dtype: np.dtype = np.float32
+
+
+class Encoder:
+    """jit-compiled embedding function over a (possibly 1-device) mesh."""
+
+    def __init__(self, model, params, mesh: Optional[Mesh] = None,
+                 is_query: bool = False):
+        self.model = model
+        self.mesh = mesh
+        method = model.query_emb if is_query else model.body_emb
+
+        def fn(p, ids, mask):
+            return model.apply({"params": p}, ids, mask, method=method)
+
+        if mesh is not None:
+            self._fn = jax.jit(
+                fn,
+                in_shardings=(
+                    NamedSharding(mesh, P()),
+                    NamedSharding(mesh, P(DATA_AXIS)),
+                    NamedSharding(mesh, P(DATA_AXIS)),
+                ),
+                out_shardings=NamedSharding(mesh, P(DATA_AXIS)),
+            )
+            self.params = jax.device_put(params, NamedSharding(mesh, P()))
+        else:
+            self._fn = jax.jit(fn)
+            self.params = jax.device_put(params)
+        self._batch_sharding = (
+            NamedSharding(mesh, P(DATA_AXIS)) if mesh is not None else None
+        )
+
+    def __call__(self, ids: np.ndarray, mask: np.ndarray):
+        ids = jnp.asarray(ids)
+        mask = jnp.asarray(mask)
+        if self._batch_sharding is not None:
+            ids = jax.device_put(ids, self._batch_sharding)
+            mask = jax.device_put(mask, self._batch_sharding)
+        return self._fn(self.params, ids, mask)
+
+
+def encode_cache(
+    encoder: Encoder,
+    cache,
+    cfg: EncodeConfig = EncodeConfig(),
+    indices: Optional[np.ndarray] = None,
+    progress: Optional[Callable[[int, int], None]] = None,
+) -> np.ndarray:
+    """Encode all (or selected) records of a token cache -> [N, D] embeddings.
+
+    The trailing partial batch is padded to the full batch size (static
+    shapes keep one compiled program) and trimmed on output.
+    """
+    n = len(cache) if indices is None else len(indices)
+    idx = np.arange(n) if indices is None else np.asarray(indices)
+    bs = cfg.batch_size
+    out = None
+    for s in range(0, n, bs):
+        chunk = idx[s : s + bs]
+        pad = bs - len(chunk)
+        if pad:
+            chunk = np.concatenate([chunk, np.repeat(chunk[-1:], pad)])
+        tokens, mask = cache.batch_with_mask(chunk)
+        emb = encoder(tokens, mask)
+        emb_np = np.asarray(emb, cfg.emb_dtype)
+        if pad:
+            emb_np = emb_np[: len(chunk) - pad]
+        if out is None:
+            out = np.empty((n, emb_np.shape[-1]), cfg.emb_dtype)
+        out[s : s + len(emb_np)] = emb_np
+        if progress:
+            progress(min(s + bs, n), n)
+    return out
