@@ -1,0 +1,308 @@
+"""Command-line interface — the L7 orchestration layer.
+
+Replaces the reference's bash pipelines (reference commands/*.sh,
+*/commands/*.sh) with subcommands:
+
+  python -m cocodr_tpu.cli preprocess-msmarco --collection ... --out ...
+  python -m cocodr_tpu.cli preprocess-beir --data-dir ... --out ...
+  python -m cocodr_tpu.cli eval-beir --data-dir ... --checkpoint ... --task scifact
+  python -m cocodr_tpu.cli warmup --triples ... --ckpt-dir ... [--preset warmup-base]
+  python -m cocodr_tpu.cli ance --data-dir ... --ckpt-dir ... [--preset ance-base]
+  python -m cocodr_tpu.cli coco --train-dir ... --ckpt-dir ... [--preset coco-base]
+  python -m cocodr_tpu.cli convert-hf --hf-dir ... --out ...
+  python -m cocodr_tpu.cli presets
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+
+def _add_common(p):
+    p.add_argument("--preset", default=None)
+    p.add_argument("--compile-cache", default="/root/repo/.jax_cache")
+
+
+def _setup_jax(args):
+    import jax
+
+    if getattr(args, "compile_cache", None):
+        jax.config.update("jax_compilation_cache_dir", args.compile_cache)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+
+def _load_tokenizer(path_or_name: str):
+    import transformers
+
+    return transformers.AutoTokenizer.from_pretrained(path_or_name)
+
+
+def _load_model_params(checkpoint: str, model_type: str):
+    """checkpoint: HF dir (pytorch_model.bin/safetensors + config.json)."""
+    import glob as _glob
+
+    from cocodr_tpu.models.dual_encoder import build_dual_encoder
+    from cocodr_tpu.models.hf import (
+        bert_params_from_torch,
+        config_from_hf,
+        load_torch_state_dict,
+    )
+
+    with open(os.path.join(checkpoint, "config.json")) as f:
+        hf_cfg = json.load(f)
+    cfg = config_from_hf(hf_cfg)
+    weights = None
+    for name in ("model.safetensors", "pytorch_model.bin"):
+        p = os.path.join(checkpoint, name)
+        if os.path.exists(p):
+            weights = load_torch_state_dict(p)
+            break
+    if weights is None:
+        raise FileNotFoundError(f"no weights in {checkpoint}")
+    model = build_dual_encoder(model_type, cfg)
+    bert_params = bert_params_from_torch(weights, cfg)
+    params = {"encoder": bert_params}
+    return model, params, cfg
+
+
+def cmd_presets(args):
+    from cocodr_tpu.core.configs import PRESETS, to_json
+
+    for name, fn in PRESETS.items():
+        print(f"== {name} ==")
+        print(to_json(fn()))
+
+
+def cmd_eval_beir(args):
+    _setup_jax(args)
+    from cocodr_tpu.pipelines.eval_beir import eval_beir
+
+    model, params, _ = _load_model_params(args.checkpoint, args.model_type)
+    tokenizer = _load_tokenizer(args.tokenizer or args.checkpoint)
+    metrics = eval_beir(
+        model,
+        params,
+        args.data_dir,
+        args.work_dir,
+        tokenizer,
+        task=args.task,
+        batch_size=args.batch_size,
+        top_k=args.top_k,
+    )
+    print(json.dumps(metrics, indent=2))
+
+
+def cmd_preprocess_msmarco(args):
+    from cocodr_tpu.data.preprocess import (
+        rewrite_qrels,
+        tokenize_msmarco_passages,
+        tokenize_queries,
+    )
+
+    tokenizer = _load_tokenizer(args.tokenizer)
+    os.makedirs(args.out, exist_ok=True)
+    lowercase = "condenser" in args.model_type
+    pid2off = tokenize_msmarco_passages(
+        args.collection,
+        os.path.join(args.out, "passages"),
+        tokenizer,
+        args.max_seq_length,
+        lowercase=lowercase,
+        data_type=args.data_type,
+    )
+    for split, qfile, qrfile in (
+        ("train", args.train_queries, args.train_qrels),
+        ("dev", args.dev_queries, args.dev_qrels),
+    ):
+        if not qfile:
+            continue
+        qid2off = tokenize_queries(
+            qfile,
+            os.path.join(args.out, f"{split}-query"),
+            tokenizer,
+            args.max_query_length,
+            lowercase=lowercase,
+        )
+        if qrfile:
+            rewrite_qrels(
+                qrfile,
+                os.path.join(args.out, f"{split}-qrel.tsv"),
+                qid2off,
+                pid2off,
+            )
+    print(f"wrote records to {args.out}")
+
+
+def cmd_warmup(args):
+    _setup_jax(args)
+    from cocodr_tpu.core.configs import PRESETS, WarmupStageConfig
+    from cocodr_tpu.pipelines.train_step import TrainStepConfig, build_train_step
+    from cocodr_tpu.pipelines.warmup import WarmupConfig, run_warmup
+    from cocodr_tpu.utils.train_state import TrainState
+
+    cfg = PRESETS[args.preset]() if args.preset else WarmupStageConfig.base()
+    model, params, _ = _load_model_params(args.checkpoint, cfg.model_type)
+    tokenizer = _load_tokenizer(args.tokenizer or args.checkpoint)
+    tx = cfg.optimizer.build()
+    state = TrainState.create(params, tx)
+    step = build_train_step(model, tx, TrainStepConfig(loss_kind="nll"))
+    wcfg = WarmupConfig(
+        max_seq_len=cfg.max_seq_len,
+        batch_size=args.batch_size or cfg.per_device_batch,
+        num_epochs=cfg.num_epochs,
+        save_steps=cfg.save_steps,
+        max_steps=args.max_steps,
+    )
+    run_warmup(
+        state,
+        step,
+        args.triples,
+        tokenizer,
+        wcfg,
+        args.ckpt_dir,
+        log_fn=lambda s, m: print(json.dumps({"step": s, **m})),
+    )
+
+
+def cmd_ance(args):
+    _setup_jax(args)
+    from cocodr_tpu.core.configs import AnceStageConfig, PRESETS
+    from cocodr_tpu.data.native import open_token_cache
+    from cocodr_tpu.data.records import load_qrels
+    from cocodr_tpu.data.streams import TripletBatcher
+    from cocodr_tpu.losses import dro_greedy_init
+    from cocodr_tpu.pipelines.ance import MineConfig, ance_round
+    from cocodr_tpu.pipelines.train_step import TrainStepConfig, build_train_step
+    from cocodr_tpu.utils.train_state import TrainState, save_checkpoint
+
+    cfg = PRESETS[args.preset]() if args.preset else AnceStageConfig.base()
+    model, params, _ = _load_model_params(args.checkpoint, cfg.model_type)
+    tx = cfg.optimizer.build()
+    extra = dro_greedy_init(cfg.dro) if cfg.loss_kind != "nll" else None
+    state = TrainState.create(params, tx, extra=extra)
+    step = build_train_step(
+        model,
+        tx,
+        TrainStepConfig(
+            loss_kind=cfg.loss_kind,
+            dro=cfg.dro,
+            idro_last_k_layers=cfg.idro_last_k_layers,
+            max_grad_norm=cfg.optimizer.max_grad_norm,
+        ),
+    )
+    pc = open_token_cache(os.path.join(args.data_dir, "passages"))
+    qc = open_token_cache(os.path.join(args.data_dir, "train-query"))
+    dev_qc = open_token_cache(os.path.join(args.data_dir, "dev-query"))
+    train_qrels = load_qrels(os.path.join(args.data_dir, "train-qrel.tsv"))
+    positives = {q: max(d, key=d.get) for q, d in train_qrels.items()}
+    dev_qrels = load_qrels(os.path.join(args.data_dir, "dev-qrel.tsv"))
+    batcher = TripletBatcher(qc, pc)
+    mine_cfg = MineConfig(
+        topk_training=cfg.topk_training,
+        negative_sample=cfg.negative_sample,
+        cluster_query=cfg.loss_kind != "nll",
+        cluster_centroids=cfg.dro.n_groups,
+        batch_size=cfg.eval_batch,
+    )
+    for rnd in range(args.rounds):
+        state, dev_metrics, steps = ance_round(
+            state,
+            step,
+            model,
+            batcher,
+            pc,
+            qc,
+            positives,
+            dev_qc,
+            dev_qrels,
+            os.path.join(args.ckpt_dir, "ann_data"),
+            rnd,
+            mine_cfg,
+            batch_size=args.batch_size or cfg.per_device_batch,
+            steps_per_round=args.steps_per_round,
+        )
+        print(
+            json.dumps(
+                {"round": rnd, "steps": steps, **{k: float(v) for k, v in
+                                                  dev_metrics.items()}}
+            )
+        )
+        save_checkpoint(args.ckpt_dir, state, keep=3)
+
+
+def cmd_convert_hf(args):
+    """HF torch checkpoint dir -> report + (optionally) flax export check."""
+    model, params, cfg = _load_model_params(args.hf_dir, args.model_type)
+    import jax
+
+    n = sum(x.size for x in jax.tree_util.tree_leaves(params))
+    print(f"converted {args.hf_dir}: {n/1e6:.1f}M params, "
+          f"{cfg.num_hidden_layers} layers, hidden {cfg.hidden_size}")
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(prog="cocodr_tpu")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    sp = sub.add_parser("presets")
+    sp.set_defaults(fn=cmd_presets)
+
+    sp = sub.add_parser("eval-beir")
+    _add_common(sp)
+    sp.add_argument("--data-dir", required=True)
+    sp.add_argument("--work-dir", required=True)
+    sp.add_argument("--checkpoint", required=True)
+    sp.add_argument("--tokenizer", default=None)
+    sp.add_argument("--task", default=None)
+    sp.add_argument("--model-type", default="rdot_nll_condenser")
+    sp.add_argument("--batch-size", type=int, default=512)
+    sp.add_argument("--top-k", type=int, default=1000)
+    sp.set_defaults(fn=cmd_eval_beir)
+
+    sp = sub.add_parser("preprocess-msmarco")
+    sp.add_argument("--collection", required=True)
+    sp.add_argument("--train-queries")
+    sp.add_argument("--train-qrels")
+    sp.add_argument("--dev-queries")
+    sp.add_argument("--dev-qrels")
+    sp.add_argument("--out", required=True)
+    sp.add_argument("--tokenizer", required=True)
+    sp.add_argument("--model-type", default="rdot_nll_condenser")
+    sp.add_argument("--data-type", type=int, default=1)
+    sp.add_argument("--max-seq-length", type=int, default=128)
+    sp.add_argument("--max-query-length", type=int, default=64)
+    sp.set_defaults(fn=cmd_preprocess_msmarco)
+
+    sp = sub.add_parser("warmup")
+    _add_common(sp)
+    sp.add_argument("--triples", required=True)
+    sp.add_argument("--checkpoint", required=True)
+    sp.add_argument("--tokenizer", default=None)
+    sp.add_argument("--ckpt-dir", required=True)
+    sp.add_argument("--batch-size", type=int, default=0)
+    sp.add_argument("--max-steps", type=int, default=0)
+    sp.set_defaults(fn=cmd_warmup)
+
+    sp = sub.add_parser("ance")
+    _add_common(sp)
+    sp.add_argument("--data-dir", required=True)
+    sp.add_argument("--checkpoint", required=True)
+    sp.add_argument("--ckpt-dir", required=True)
+    sp.add_argument("--rounds", type=int, default=10)
+    sp.add_argument("--steps-per-round", type=int, default=5000)
+    sp.add_argument("--batch-size", type=int, default=0)
+    sp.set_defaults(fn=cmd_ance)
+
+    sp = sub.add_parser("convert-hf")
+    sp.add_argument("--hf-dir", required=True)
+    sp.add_argument("--model-type", default="rdot_nll_condenser")
+    sp.set_defaults(fn=cmd_convert_hf)
+
+    args = p.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -87,6 +87,11 @@ class CondenserForPretraining(nn.Module):
             h = layer(h, bias, deterministic=deterministic)
         return h
 
+    def cls_emb(self, input_ids, attention_mask, deterministic: bool = True):
+        """Backbone CLS only — the grad-cache first pass (cheap, no head)."""
+        last, _ = self.encode(input_ids, attention_mask, deterministic)
+        return last[:, 0]
+
     def __call__(self, input_ids, attention_mask, labels,
                  deterministic: bool = True):
         """Returns (loss, aux dict with cls embeddings + sub-losses)."""

@@ -1,0 +1,359 @@
+"""ANCE asynchronous hard-negative mining + training.
+
+Rebuild of the reference's two-job system (reference
+ANCE/drivers/run_ann_data_gen.py — producer; ANCE/drivers/run_ann.py —
+consumer), coupled only through the filesystem:
+
+  miner:   latest valid checkpoint -> encode corpus + queries -> exact MIPS
+           top-k -> filter positives/dupes -> sample negatives -> write
+           ann_training_data_{n} (+ weight/cluster columns when clustering)
+           and ann_ndcg_{n} JSON {ndcg, mrr, checkpoint}
+  trainer: polls for new ann files, rebuilds the triplet stream, trains with
+           (i)DRO group reweighting, checkpoints with the DONE-marker
+           validity protocol
+
+The staleness semantics are preserved: negatives always come from an older
+checkpoint — that lag is part of ANCE's published behavior. `ance_round`
+offers the single-program time-multiplexed mode (train N steps -> re-mine)
+which removes polling entirely on one TPU slice; `mine_loop`/`train_loop`
+keep the two-job async mode for separate slices.
+
+FAISS IndexFlatIP/Kmeans are replaced by ops.mips / ops.kmeans on device.
+"""
+from __future__ import annotations
+
+import dataclasses
+import glob
+import json
+import os
+import time
+from typing import Callable, Dict, Iterable, List, Optional
+
+import numpy as np
+
+from cocodr_tpu.evals.metrics import evaluate_run, run_from_topk
+from cocodr_tpu.ops.kmeans import kmeans
+from cocodr_tpu.ops.mips import mips_topk_chunked_queries
+from cocodr_tpu.pipelines.encode import EncodeConfig, Encoder, encode_cache
+
+
+@dataclasses.dataclass
+class MineConfig:
+    topk_training: int = 200  # candidates per query (ANCE/README.md)
+    negative_sample: int = 30  # kept negatives
+    select_topk: bool = True  # top-(n+1) vs random-from-candidates
+    n_splits: int = 5  # negative slices per ann file (data_gen.py:408-423)
+    cluster_query: bool = False  # k-means groups for iDRO
+    cluster_centroids: int = 50
+    kmeans_iters: int = 100
+    kmeans_redo: int = 5
+    dev_topk: int = 100
+    batch_size: int = 512
+    q_chunk: int = 4096
+    mips_tile: int = 32768
+    seed: int = 0
+
+
+def ann_data_path(out_dir: str, n: int) -> str:
+    return os.path.join(out_dir, f"ann_training_data_{n}")
+
+
+def ann_ndcg_path(out_dir: str, n: int) -> str:
+    return os.path.join(out_dir, f"ann_ndcg_{n}")
+
+
+def get_latest_ann_data(out_dir: str):
+    """(n, data_path, ndcg_json or None); n=-1 when absent
+    (reference ANCE/drivers/run_ann.py:263-287)."""
+    best = -1
+    for p in glob.glob(os.path.join(out_dir, "ann_ndcg_*")):
+        try:
+            n = int(p.rsplit("_", 1)[1])
+        except ValueError:
+            continue
+        if n > best and os.path.exists(ann_data_path(out_dir, n)):
+            best = n
+    if best < 0:
+        return -1, None, None
+    with open(ann_ndcg_path(out_dir, best)) as f:
+        meta = json.load(f)
+    return best, ann_data_path(out_dir, best), meta
+
+
+def generate_negatives(
+    top_ids: np.ndarray,
+    query_ids: np.ndarray,
+    positives: Dict[int, int],
+    cfg: MineConfig,
+    rng: np.random.RandomState,
+):
+    """Per-query negatives + self-MRR (reference GenerateNegativePassaageID,
+    data_gen.py:497-570). top_ids rows are corpus offsets (== pids in offset
+    space)."""
+    negatives: Dict[int, List[int]] = {}
+    mrr_scores: Dict[int, float] = {}
+    for row, qid in zip(top_ids, query_ids):
+        qid = int(qid)
+        if qid not in positives:
+            continue
+        pos_pid = positives[qid]
+        ranks = np.nonzero(row == pos_pid)[0]
+        mrr_scores[qid] = 1.0 / (ranks[0] + 1) if len(ranks) else 0.0
+        if cfg.select_topk:
+            cand = row[: cfg.negative_sample + 1]
+        else:
+            cand = row[rng.permutation(len(row))]
+        negs: List[int] = []
+        for pid in cand:
+            pid = int(pid)
+            if pid == pos_pid or pid < 0 or pid in negs:
+                continue
+            negs.append(pid)
+            if len(negs) >= cfg.negative_sample:
+                break
+        negatives[qid] = negs
+    return negatives, mrr_scores
+
+
+def write_ann_data(
+    path: str,
+    negatives: Dict[int, List[int]],
+    positives: Dict[int, int],
+    cfg: MineConfig,
+    rng: np.random.RandomState,
+    clusters: Optional[Dict[int, int]] = None,
+    weights: Optional[Dict[int, float]] = None,
+):
+    """5-split ann file, shuffled query order per the reference
+    (data_gen.py:403-429)."""
+    qids = list(negatives.keys())
+    with open(path + ".tmp", "w") as f:
+        order = rng.permutation(len(qids))
+        for split in range(cfg.n_splits):
+            for i in order:
+                qid = qids[i]
+                negs = negatives[qid]
+                n5 = len(negs) // cfg.n_splits
+                sl = negs[split * n5 : (split + 1) * n5]
+                if not sl:
+                    continue
+                neg_str = ",".join(str(p) for p in sl)
+                if clusters is not None:
+                    w = 1.0 if weights is None else weights.get(qid, 1.0)
+                    f.write(
+                        f"{qid}\t{positives[qid]}\t{neg_str}\t{w:.4f}\t"
+                        f"{clusters[qid]}\n"
+                    )
+                else:
+                    f.write(f"{qid}\t{positives[qid]}\t{neg_str}\n")
+    os.replace(path + ".tmp", path)
+
+
+def mine(
+    model,
+    params,
+    passage_cache,
+    train_query_cache,
+    train_positives: Dict[int, int],
+    dev_query_cache,
+    dev_qrels: Dict[int, Dict[int, int]],
+    out_dir: str,
+    output_num: int,
+    cfg: MineConfig = MineConfig(),
+    mesh=None,
+    checkpoint_name: str = "",
+    corpus_emb: Optional[np.ndarray] = None,
+) -> Dict[str, float]:
+    """One mining round. Returns the dev metrics it logged."""
+    os.makedirs(out_dir, exist_ok=True)
+    rng = np.random.RandomState(cfg.seed + output_num)
+    ecfg = EncodeConfig(batch_size=cfg.batch_size)
+
+    doc_enc = Encoder(model, params, mesh=mesh, is_query=False)
+    q_enc = Encoder(model, params, mesh=mesh, is_query=True)
+    if corpus_emb is None:
+        corpus_emb = encode_cache(doc_enc, passage_cache, ecfg)
+
+    # dev eval at this checkpoint (data_gen.py:306-319)
+    dev_emb = encode_cache(q_enc, dev_query_cache, ecfg)
+    k = min(cfg.dev_topk, corpus_emb.shape[0])
+    _, dev_top = mips_topk_chunked_queries(
+        dev_emb, corpus_emb, k, q_chunk=cfg.q_chunk, tile=cfg.mips_tile
+    )
+    dev_run = run_from_topk(list(range(len(dev_emb))), dev_top)
+    dev_metrics = evaluate_run(dev_run, dev_qrels, recall_ks=(k,))
+
+    # train-query encode + mine
+    train_emb = encode_cache(q_enc, train_query_cache, ecfg)
+    kt = min(cfg.topk_training, corpus_emb.shape[0])
+    _, train_top = mips_topk_chunked_queries(
+        train_emb, corpus_emb, kt, q_chunk=cfg.q_chunk, tile=cfg.mips_tile
+    )
+    query_ids = np.arange(len(train_emb))
+    negatives, mrr_scores = generate_negatives(
+        train_top, query_ids, train_positives, cfg, rng
+    )
+
+    clusters = weights = None
+    if cfg.cluster_query:
+        _, assign = kmeans(
+            train_emb,
+            cfg.cluster_centroids,
+            n_iter=cfg.kmeans_iters,
+            n_redo=cfg.kmeans_redo,
+            seed=cfg.seed,
+        )
+        assign = np.asarray(assign)
+        clusters = {int(q): int(assign[q]) for q in range(len(train_emb))}
+        weights = {q: 1.0 for q in clusters}  # reference writes weight=1
+
+    write_ann_data(
+        ann_data_path(out_dir, output_num),
+        negatives,
+        train_positives,
+        cfg,
+        rng,
+        clusters=clusters,
+        weights=weights,
+    )
+    with open(ann_ndcg_path(out_dir, output_num) + ".tmp", "w") as f:
+        json.dump(
+            {
+                "ndcg": dev_metrics["ndcg_cut_10"],
+                "mrr": dev_metrics["recip_rank"],
+                "checkpoint": checkpoint_name,
+            },
+            f,
+        )
+    os.replace(
+        ann_ndcg_path(out_dir, output_num) + ".tmp",
+        ann_ndcg_path(out_dir, output_num),
+    )
+    return dev_metrics
+
+
+def train_on_ann_file(
+    state,
+    train_step: Callable,
+    batcher,
+    ann_file: str,
+    batch_size: int,
+    max_steps: Optional[int] = None,
+    seed: int = 0,
+    device_put: Callable = None,
+    metrics_cb: Optional[Callable] = None,
+):
+    """Consume one ann file (reference run_ann.py:240-356)."""
+    import jax.numpy as jnp
+
+    from cocodr_tpu.data.streams import (
+        shuffled_ann_lines,
+        triplets_from_ann_lines,
+    )
+
+    with open(ann_file) as f:
+        lines = f.readlines()
+    lines = shuffled_ann_lines(lines, seed)
+    steps = 0
+    for tb in batcher.batches(triplets_from_ann_lines(lines), batch_size):
+        batch = {
+            "q_ids": jnp.asarray(tb.query_ids),
+            "q_mask": jnp.asarray(tb.query_mask),
+            "pos_ids": jnp.asarray(tb.pos_ids),
+            "pos_mask": jnp.asarray(tb.pos_mask),
+            "neg_ids": jnp.asarray(tb.neg_ids),
+            "neg_mask": jnp.asarray(tb.neg_mask),
+            "groups": jnp.asarray(tb.groups),
+            "weights": jnp.asarray(tb.weights),
+        }
+        if device_put is not None:
+            batch = device_put(batch)
+        state, metrics = train_step(state, batch)
+        steps += 1
+        if metrics_cb:
+            metrics_cb(int(state.step), metrics)
+        if max_steps and steps >= max_steps:
+            break
+    return state, steps
+
+
+def ance_round(
+    state,
+    train_step,
+    model,
+    batcher,
+    passage_cache,
+    train_query_cache,
+    train_positives,
+    dev_query_cache,
+    dev_qrels,
+    work_dir: str,
+    round_idx: int,
+    mine_cfg: MineConfig,
+    batch_size: int,
+    steps_per_round: int,
+    mesh=None,
+    metrics_cb=None,
+):
+    """Time-multiplexed ANCE: mine with current params -> train on the fresh
+    negatives. One TPU slice, no polling, same staleness semantics (the
+    negatives were mined before the round's updates)."""
+    dev_metrics = mine(
+        model,
+        state.params,
+        passage_cache,
+        train_query_cache,
+        train_positives,
+        dev_query_cache,
+        dev_qrels,
+        work_dir,
+        round_idx,
+        mine_cfg,
+        mesh=mesh,
+        checkpoint_name=f"step-{int(state.step)}",
+    )
+    state, steps = train_on_ann_file(
+        state,
+        train_step,
+        batcher,
+        ann_data_path(work_dir, round_idx),
+        batch_size,
+        max_steps=steps_per_round,
+        seed=round_idx,
+        metrics_cb=metrics_cb,
+    )
+    return state, dev_metrics, steps
+
+
+def mine_loop(
+    model,
+    params_loader: Callable[[], Optional[tuple]],
+    out_dir: str,
+    poll_secs: float = 60.0,
+    max_rounds: Optional[int] = None,
+    **mine_kwargs,
+):
+    """Async producer: poll for new checkpoints, mine when one appears
+    (reference evaluate/drivers/run_ann_data_gen.py:695-719)."""
+    last_ckpt = None
+    rounds = 0
+    while max_rounds is None or rounds < max_rounds:
+        loaded = params_loader()
+        if loaded is None:
+            time.sleep(poll_secs)
+            continue
+        ckpt_name, params = loaded
+        if ckpt_name == last_ckpt:
+            time.sleep(poll_secs)
+            continue
+        n, _, _ = get_latest_ann_data(out_dir)
+        mine(
+            model,
+            params,
+            out_dir=out_dir,
+            output_num=n + 1,
+            checkpoint_name=ckpt_name,
+            **mine_kwargs,
+        )
+        last_ckpt = ckpt_name
+        rounds += 1

@@ -1,0 +1,213 @@
+"""Jitted training-step factory for the dual-encoder stages.
+
+One compiled SPMD program per stage covering the reference's training modes
+(reference ANCE/drivers/run_ann.py:289-356, warmup/drivers/run_bm25_warmup.py:208-253):
+
+- 'nll'        : triplet 2-way NLL, optional per-sample weights
+                 (ANCE/model/models.py:259-262)
+- 'dro-greedy' : DRO-greedy robust loss over query clusters
+- 'idro'       : iDRO — per-group gradients restricted to the last-k encoder
+                 layers feed the multiplicative weight update
+                 (ANCE/model/dro_loss.py:174-254)
+
+Under pjit the batch is sharded over the mesh data axis and params are
+replicated; XLA inserts the gradient reductions the reference got from DDP.
+The per-group gradients use ONE vjp whose pullback is vmapped over group
+cotangents — the reference's O(G) sequential autograd.grad calls become a
+single batched backward, and dead-code elimination prunes the below-last-k
+backward for the per-group pass (only the robust-loss pullback needs it).
+
+Note on the reference's "layerwise" LAMB param groups
+(warmup/drivers/run_bm25_warmup.py:65-79): the groups share every
+hyperparameter, and LAMB's trust ratio is per-tensor, so grouping has no
+numerical effect — our per-leaf LAMB is exactly equivalent.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from cocodr_tpu.losses import (
+    DroConfig,
+    dro_greedy_loss,
+    idro_loss,
+    per_group_grads,
+    triplet_nll,
+)
+from cocodr_tpu.utils.train_state import TrainState
+
+
+@dataclasses.dataclass(frozen=True)
+class TrainStepConfig:
+    loss_kind: str = "nll"  # 'nll' | 'dro-greedy' | 'idro'
+    dro: Optional[DroConfig] = None
+    max_grad_norm: float = 1.0  # 0 disables clipping
+    idro_last_k_layers: int = 3  # base: last 3; large: last 2 (dro_loss.py:179-183)
+
+
+def _embed_triplet(model, params, batch, dropout_rng=None):
+    rngs = {"dropout": dropout_rng} if dropout_rng is not None else None
+    det = dropout_rng is None
+
+    def apply(ids, mask, method):
+        return model.apply(
+            {"params": params}, ids, mask, deterministic=det,
+            method=method, rngs=rngs,
+        )
+
+    q = apply(batch["q_ids"], batch["q_mask"], model.query_emb)
+    a = apply(batch["pos_ids"], batch["pos_mask"], model.body_emb)
+    b = apply(batch["neg_ids"], batch["neg_mask"], model.body_emb)
+    return q, a, b
+
+
+def split_last_k_layers(params, k: int):
+    """Split scan-stacked encoder layer params into (last_k, rest_fn) where
+    rest_fn(last_k) rebuilds the full tree. Works on the DualEncoder tree
+    (params['encoder']['encoder']['layers']['layer'])."""
+    enc = params["encoder"]["encoder"]["layers"]["layer"]
+    lastk = jax.tree_util.tree_map(lambda x: x[-k:], enc)
+
+    def rebuild(lk):
+        merged = jax.tree_util.tree_map(
+            lambda full, tail: jnp.concatenate([full[:-k], tail], axis=0),
+            enc,
+            lk,
+        )
+        new = dict(params)
+        new_enc_outer = dict(params["encoder"])
+        new_enc = dict(params["encoder"]["encoder"])
+        new_layers = dict(params["encoder"]["encoder"]["layers"])
+        new_layers["layer"] = merged
+        new_enc["layers"] = new_layers
+        new_enc_outer["encoder"] = new_enc
+        new["encoder"] = new_enc_outer
+        return new
+
+    return lastk, rebuild
+
+
+def build_train_step(
+    model,
+    tx: optax.GradientTransformation,
+    cfg: TrainStepConfig = TrainStepConfig(),
+) -> Callable:
+    """Returns train_step(state, batch, dropout_rng) -> (state, metrics).
+
+    batch keys: q_ids/q_mask/pos_ids/pos_mask/neg_ids/neg_mask
+    [+ groups, weights]. state.extra holds DroState for the DRO modes.
+    """
+    clip = (
+        optax.clip_by_global_norm(cfg.max_grad_norm)
+        if cfg.max_grad_norm > 0
+        else None
+    )
+
+    def apply_updates(state, grads, extra):
+        if clip is not None:
+            grads, _ = clip.update(grads, optax.EmptyState())
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        return state.replace(
+            step=state.step + 1, params=params, opt_state=opt_state,
+            extra=extra,
+        )
+
+    if cfg.loss_kind == "nll":
+
+        def step(state: TrainState, batch, dropout_rng=None):
+            def loss_fn(p):
+                q, a, b = _embed_triplet(model, p, batch, dropout_rng)
+                losses, acc, _ = triplet_nll(q, a, b)
+                w = batch.get("weights")
+                if w is not None:
+                    losses = losses * w
+                return jnp.mean(losses), jnp.mean(acc)
+
+            (loss, acc), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+                state.params
+            )
+            state = apply_updates(state, grads, state.extra)
+            return state, {"loss": loss, "acc": acc}
+
+        return jax.jit(step)
+
+    if cfg.loss_kind == "dro-greedy":
+        assert cfg.dro is not None
+
+        def step(state: TrainState, batch, dropout_rng=None):
+            def loss_fn(p, dstate):
+                q, a, b = _embed_triplet(model, p, batch, dropout_rng)
+                losses, acc, _ = triplet_nll(q, a, b)
+                robust, new_dstate, (gl, gc) = dro_greedy_loss(
+                    losses,
+                    batch["groups"],
+                    dstate,
+                    cfg.dro,
+                    weights=batch.get("weights"),
+                )
+                return robust, (new_dstate, jnp.mean(acc), gl, gc)
+
+            (loss, (dstate, acc, gl, gc)), grads = jax.value_and_grad(
+                loss_fn, has_aux=True
+            )(state.params, state.extra)
+            state = apply_updates(state, grads, dstate)
+            return state, {
+                "loss": loss,
+                "acc": acc,
+                "group_losses": gl,
+                "group_counts": gc,
+            }
+
+        return jax.jit(step)
+
+    if cfg.loss_kind == "idro":
+        assert cfg.dro is not None
+        G = cfg.dro.n_groups
+        K = cfg.idro_last_k_layers
+
+        def step(state: TrainState, batch, dropout_rng=None):
+            lastk0, rebuild = split_last_k_layers(state.params, K)
+
+            def per_sample_losses(lastk, rest_unused):
+                p = rebuild(lastk)
+                q, a, b = _embed_triplet(model, p, batch, dropout_rng)
+                losses, acc, _ = triplet_nll(q, a, b)
+                return losses, acc
+
+            # vjp wrt the last-k layer slice only (reference restricts
+            # per-group grads to these layers, dro_loss.py:179-183)
+            (losses, acc), pullback = jax.vjp(
+                lambda lk: per_sample_losses(lk, None), lastk0
+            )
+
+            gg = per_group_grads(
+                lambda ct: pullback((ct, jnp.zeros_like(acc))), batch["groups"], G
+            )
+
+            def robust_fn(p, dstate):
+                q, a, b = _embed_triplet(model, p, batch, dropout_rng)
+                l, a_, _ = triplet_nll(q, a, b)
+                robust, new_dstate, (gl, gc) = idro_loss(
+                    l, batch["groups"], dstate, cfg.dro, gg
+                )
+                return robust, (new_dstate, jnp.mean(a_), gl, gc)
+
+            (loss, (dstate, acc_m, gl, gc)), grads = jax.value_and_grad(
+                robust_fn, has_aux=True
+            )(state.params, state.extra)
+            state = apply_updates(state, grads, dstate)
+            return state, {
+                "loss": loss,
+                "acc": acc_m,
+                "group_losses": gl,
+                "group_counts": gc,
+            }
+
+        return jax.jit(step)
+
+    raise ValueError(cfg.loss_kind)

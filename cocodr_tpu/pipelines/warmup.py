@@ -1,0 +1,134 @@
+"""BM25-warmup finetuning: dual encoder on raw MS MARCO triples.
+
+Rebuild of reference warmup/drivers/run_bm25_warmup.py:47-320: stream the
+(query \t positive \t negative) text triples, tokenize on the fly, train the
+2-way NLL with LAMB + linear warmup, checkpoint every save_steps, optional
+in-training dev eval. Epochs re-seek the stream (f.seek(0), :189-192);
+rank sharding is by line index.
+"""
+from __future__ import annotations
+
+import dataclasses
+import os
+from typing import Callable, Iterator, Optional
+
+import numpy as np
+
+from cocodr_tpu.data.streams import parse_triples_tsv_line
+from cocodr_tpu.utils.train_state import (
+    TrainState,
+    latest_checkpoint,
+    load_checkpoint,
+    save_checkpoint,
+)
+
+
+@dataclasses.dataclass
+class WarmupConfig:
+    max_seq_len: int = 128  # triples tokenized at one length (run_bm25_warmup.sh)
+    batch_size: int = 32
+    num_epochs: int = 3
+    save_steps: int = 10000
+    eval_every_steps: int = 0  # 0 disables
+    max_steps: int = 0  # 0 = until epochs exhausted
+    log_every: int = 100
+    keep_checkpoints: int = 3
+
+
+class TripleTextBatcher:
+    """Tokenize raw triples into device-ready arrays (offline-rate path;
+    preprocessed record streams bypass this entirely)."""
+
+    def __init__(self, tokenizer, max_len: int):
+        self.tok = tokenizer
+        self.max_len = max_len
+
+    def encode_batch(self, texts):
+        out = self.tok(
+            texts,
+            padding="max_length",
+            truncation=True,
+            max_length=self.max_len,
+            return_tensors="np",
+        )
+        return (
+            out["input_ids"].astype(np.int32),
+            out["attention_mask"].astype(np.int32),
+        )
+
+    def collate(self, triples):
+        qs, ps, ns = zip(*triples)
+        q_ids, q_mask = self.encode_batch(list(qs))
+        p_ids, p_mask = self.encode_batch(list(ps))
+        n_ids, n_mask = self.encode_batch(list(ns))
+        return {
+            "q_ids": q_ids,
+            "q_mask": q_mask,
+            "pos_ids": p_ids,
+            "pos_mask": p_mask,
+            "neg_ids": n_ids,
+            "neg_mask": n_mask,
+        }
+
+
+def stream_triples(
+    path: str, rank: int = 0, world_size: int = 1
+) -> Iterator[tuple]:
+    with open(path, encoding="utf8") as f:
+        for i, line in enumerate(f):
+            if i % world_size != rank:
+                continue
+            try:
+                yield parse_triples_tsv_line(line)
+            except ValueError:
+                continue
+
+
+def run_warmup(
+    state: TrainState,
+    train_step: Callable,
+    triples_path: str,
+    tokenizer,
+    cfg: WarmupConfig,
+    ckpt_dir: str,
+    eval_fn: Optional[Callable] = None,
+    log_fn: Optional[Callable] = None,
+    resume: bool = True,
+):
+    """Returns the final TrainState. eval_fn(state) -> dict is called every
+    cfg.eval_every_steps; log_fn(step, metrics) every cfg.log_every."""
+    import jax.numpy as jnp
+
+    os.makedirs(ckpt_dir, exist_ok=True)
+    if resume:
+        ck = latest_checkpoint(ckpt_dir)
+        if ck:
+            state = load_checkpoint(ck, state)
+
+    batcher = TripleTextBatcher(tokenizer, cfg.max_seq_len)
+    done = False
+    for epoch in range(cfg.num_epochs):
+        if done:
+            break
+        buf = []
+        for triple in stream_triples(triples_path):
+            buf.append(triple)
+            if len(buf) < cfg.batch_size:
+                continue
+            batch = {
+                k: jnp.asarray(v) for k, v in batcher.collate(buf).items()
+            }
+            buf = []
+            state, metrics = train_step(state, batch)
+            step = int(state.step)
+            if log_fn and step % cfg.log_every == 0:
+                log_fn(step, {k: float(np.asarray(v)) for k, v in metrics.items()})
+            if cfg.save_steps and step % cfg.save_steps == 0:
+                save_checkpoint(ckpt_dir, state, keep=cfg.keep_checkpoints)
+            if eval_fn and cfg.eval_every_steps and step % cfg.eval_every_steps == 0:
+                eval_fn(state)
+            if cfg.max_steps and step >= cfg.max_steps:
+                done = True
+                break
+    save_checkpoint(ckpt_dir, state, keep=cfg.keep_checkpoints)
+    return state

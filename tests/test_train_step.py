@@ -1,0 +1,113 @@
+"""Train-step factory: all three loss modes run, losses decrease, and the
+iDRO per-group-grad plumbing matches an explicit construction."""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from cocodr_tpu.losses import DroConfig, dro_greedy_init, idro_init
+from cocodr_tpu.models.bert import BertConfig
+from cocodr_tpu.models.dual_encoder import build_dual_encoder
+from cocodr_tpu.optim import lamb, warmup_linear
+from cocodr_tpu.pipelines.train_step import (
+    TrainStepConfig,
+    build_train_step,
+    split_last_k_layers,
+)
+from cocodr_tpu.utils.train_state import TrainState
+
+
+def _setup(loss_kind, dro=None):
+    bert = BertConfig.tiny()
+    model = build_dual_encoder("rdot_nll", bert)
+    B, S = 8, 12
+    rng = np.random.RandomState(0)
+    ids = rng.randint(1, 100, size=(B, S)).astype(np.int32)
+    batch = {
+        "q_ids": jnp.asarray(ids),
+        "q_mask": jnp.ones((B, S), jnp.int32),
+        "pos_ids": jnp.asarray(np.roll(ids, 1, 1)),
+        "pos_mask": jnp.ones((B, S), jnp.int32),
+        "neg_ids": jnp.asarray(ids[::-1].copy()),
+        "neg_mask": jnp.ones((B, S), jnp.int32),
+        "groups": jnp.asarray(rng.randint(0, 4, B)),
+        "weights": jnp.ones((B,), jnp.float32),
+    }
+    params = model.init(
+        jax.random.PRNGKey(0), batch["q_ids"][:1], batch["q_mask"][:1]
+    )["params"]
+    tx = lamb(warmup_linear(5e-4, 2, 100))
+    extra = None
+    if dro is not None:
+        extra = dro_greedy_init(dro) if loss_kind == "dro-greedy" else idro_init(dro)
+    state = TrainState.create(params, tx, extra=extra)
+    step = build_train_step(
+        model, tx, TrainStepConfig(loss_kind=loss_kind, dro=dro,
+                                   idro_last_k_layers=1)
+    )
+    return state, step, batch, model
+
+
+@pytest.mark.parametrize("loss_kind", ["nll", "dro-greedy", "idro"])
+def test_modes_run_and_learn(loss_kind):
+    dro = DroConfig(n_groups=4) if loss_kind != "nll" else None
+    state, step, batch, _ = _setup(loss_kind, dro)
+    losses = []
+    for _ in range(6):
+        state, metrics = step(state, batch)
+        losses.append(float(metrics["loss"]))
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[1], losses
+    assert int(state.step) == 6
+    if loss_kind != "nll":
+        h = np.asarray(state.extra.h_fun)
+        assert h.shape == (4,)
+        assert np.isfinite(h).all()
+
+
+def test_split_last_k_layers_roundtrip():
+    bert = BertConfig.tiny()  # 2 layers
+    model = build_dual_encoder("rdot_nll", bert)
+    params = model.init(
+        jax.random.PRNGKey(0), jnp.ones((1, 4), jnp.int32), jnp.ones((1, 4), jnp.int32)
+    )["params"]
+    lastk, rebuild = split_last_k_layers(params, 1)
+    # every leaf of lastk is the [-1:] slice
+    enc = params["encoder"]["encoder"]["layers"]["layer"]
+    leaf = enc["intermediate"]["kernel"]
+    np.testing.assert_array_equal(
+        np.asarray(lastk["intermediate"]["kernel"]), np.asarray(leaf[-1:])
+    )
+    rebuilt = rebuild(lastk)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_array_equal(np.asarray(a), np.asarray(b)),
+        params,
+        rebuilt,
+    )
+
+
+def test_idro_group_grads_only_last_k():
+    """The per-group gradient buffer has the last-k-layers dimensionality."""
+    from cocodr_tpu.losses import per_group_grads
+
+    bert = BertConfig.tiny()
+    model = build_dual_encoder("rdot_nll", bert)
+    B, S = 4, 8
+    ids = jnp.ones((B, S), jnp.int32)
+    mask = jnp.ones((B, S), jnp.int32)
+    params = model.init(jax.random.PRNGKey(0), ids[:1], mask[:1])["params"]
+    lastk, rebuild = split_last_k_layers(params, 1)
+
+    def losses_fn(lk):
+        p = rebuild(lk)
+        q = model.apply({"params": p}, ids, mask, method=model.query_emb)
+        return jnp.sum(q.astype(jnp.float32) ** 2, axis=-1)
+
+    _, pullback = jax.vjp(losses_fn, lastk)
+    groups = jnp.asarray([0, 1, 0, 2])
+    gg = per_group_grads(pullback, groups, 3)
+    P = sum(np.prod(l.shape) for l in jax.tree_util.tree_leaves(lastk))
+    assert gg.shape == (3, P)
+    assert np.isfinite(np.asarray(gg)).all()
+    assert np.abs(np.asarray(gg)).max() > 0
