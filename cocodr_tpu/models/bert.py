@@ -41,9 +41,40 @@ class BertConfig:
     initializer_range: float = 0.02
     layer_norm_eps: float = 1e-12
     pad_token_id: int = 0
+    # 'bert': positions 0..S-1. 'roberta': positions offset past padding_idx,
+    # computed from non-pad tokens (HF create_position_ids_from_input_ids).
+    position_style: str = "bert"
     # flax-side knobs
     dtype: Dtype = jnp.float32
     remat: bool = False
+
+    @classmethod
+    def roberta_base(cls, **kw) -> "BertConfig":
+        return cls(
+            vocab_size=50265,
+            max_position_embeddings=514,
+            type_vocab_size=1,
+            layer_norm_eps=1e-5,
+            pad_token_id=1,
+            position_style="roberta",
+            **kw,
+        )
+
+    @classmethod
+    def roberta_large(cls, **kw) -> "BertConfig":
+        return cls(
+            vocab_size=50265,
+            hidden_size=1024,
+            num_hidden_layers=24,
+            num_attention_heads=16,
+            intermediate_size=4096,
+            max_position_embeddings=514,
+            type_vocab_size=1,
+            layer_norm_eps=1e-5,
+            pad_token_id=1,
+            position_style="roberta",
+            **kw,
+        )
 
     @classmethod
     def base(cls, **kw) -> "BertConfig":
@@ -316,7 +347,15 @@ class BertModel(nn.Module):
         if token_type_ids is None:
             token_type_ids = jnp.zeros((B, S), jnp.int32)
         if position_ids is None:
-            position_ids = jnp.arange(S, dtype=jnp.int32)[None, :]
+            if self.cfg.position_style == "roberta":
+                # positions count non-pad tokens, offset past padding_idx
+                # (HF create_position_ids_from_input_ids)
+                not_pad = (input_ids != self.cfg.pad_token_id).astype(jnp.int32)
+                position_ids = (
+                    jnp.cumsum(not_pad, axis=1) * not_pad + self.cfg.pad_token_id
+                )
+            else:
+                position_ids = jnp.arange(S, dtype=jnp.int32)[None, :]
         h = self.embeddings(
             input_ids, token_type_ids, position_ids, deterministic=deterministic
         )

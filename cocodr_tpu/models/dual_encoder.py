@@ -72,21 +72,23 @@ class DualEncoderConfig:
     chunk_len: int = 0  # >0: multi-chunk body encoding with this base length
 
     @classmethod
-    def rdot_nll(cls, bert: BertConfig) -> "DualEncoderConfig":
-        return cls(bert=bert, pooling="cls", use_head=True)
+    def rdot_nll(cls, bert: BertConfig, **kw) -> "DualEncoderConfig":
+        return cls(bert=bert, pooling="cls", use_head=True, **kw)
 
     @classmethod
-    def rdot_nll_multi_chunk(cls, bert: BertConfig, base_len=512):
-        return cls(bert=bert, pooling="cls", use_head=True, chunk_len=base_len)
+    def rdot_nll_multi_chunk(cls, bert: BertConfig, base_len=512, **kw):
+        return cls(
+            bert=bert, pooling="cls", use_head=True, chunk_len=base_len, **kw
+        )
 
     @classmethod
-    def rdot_nll_condenser(cls, bert: BertConfig) -> "DualEncoderConfig":
+    def rdot_nll_condenser(cls, bert: BertConfig, **kw) -> "DualEncoderConfig":
         # BertDot_NLL_LN: raw CLS embedding, no projection head.
-        return cls(bert=bert, pooling="cls", use_head=False)
+        return cls(bert=bert, pooling="cls", use_head=False, **kw)
 
     @classmethod
-    def dpr(cls, bert: BertConfig) -> "DualEncoderConfig":
-        return cls(bert=bert, pooling="cls", use_head=False, two_tower=True)
+    def dpr(cls, bert: BertConfig, **kw) -> "DualEncoderConfig":
+        return cls(bert=bert, pooling="cls", use_head=False, two_tower=True, **kw)
 
 
 class DualEncoder(nn.Module):

@@ -35,7 +35,9 @@ def config_from_hf(hf_config) -> BertConfig:
         if isinstance(hf_config, Mapping)
         else lambda k, d=None: getattr(hf_config, k, d)
     )
+    model_type = g("model_type", "bert")
     return BertConfig(
+        position_style="roberta" if model_type == "roberta" else "bert",
         vocab_size=g("vocab_size"),
         hidden_size=g("hidden_size"),
         num_hidden_layers=g("num_hidden_layers"),
@@ -249,6 +251,32 @@ def bert_params_to_torch(params: Dict, cfg: BertConfig) -> Dict[str, np.ndarray]
         out["pooler.dense.weight"] = np.asarray(p["pooler"]["dense"]["kernel"]).T
         out["pooler.dense.bias"] = np.asarray(p["pooler"]["dense"]["bias"])
     return out
+
+
+def dual_encoder_params_from_torch(
+    state_dict: Mapping, cfg: BertConfig, use_head: bool = False
+) -> Dict:
+    """Full dual-encoder checkpoint (RobertaDot_NLL_LN / BertDot_NLL_LN,
+    reference ANCE/model/models.py:118-232) -> flax DualEncoder params.
+
+    The backbone lives under 'roberta.'/'bert.'; the projection head is
+    `embeddingHead` (Linear) + `norm` (LayerNorm) — present in all published
+    checkpoints, used on the embedding path only by the rdot_nll family.
+    """
+    sd = {k: _np(v) for k, v in state_dict.items()}
+    params: Dict = {"encoder": bert_params_from_torch(sd, cfg)}
+    if use_head:
+        params["head"] = {
+            "dense": {
+                "kernel": sd["embeddingHead.weight"].T,
+                "bias": sd["embeddingHead.bias"],
+            },
+            "layer_norm": {
+                "scale": sd["norm.weight"],
+                "bias": sd["norm.bias"],
+            },
+        }
+    return params
 
 
 def load_torch_state_dict(path: str) -> Dict[str, np.ndarray]:

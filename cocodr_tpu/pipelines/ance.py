@@ -51,6 +51,7 @@ class MineConfig:
     batch_size: int = 512
     q_chunk: int = 4096
     mips_tile: int = 32768
+    exact_fp32: bool = False  # fp32 sweep (FAISS-bit parity); default bf16+fp32 rescore
     seed: int = 0
 
 
@@ -178,7 +179,8 @@ def mine(
     dev_emb = encode_cache(q_enc, dev_query_cache, ecfg)
     k = min(cfg.dev_topk, corpus_emb.shape[0])
     _, dev_top = mips_topk_chunked_queries(
-        dev_emb, corpus_emb, k, q_chunk=cfg.q_chunk, tile=cfg.mips_tile
+        dev_emb, corpus_emb, k, q_chunk=cfg.q_chunk, tile=cfg.mips_tile,
+        exact_fp32=cfg.exact_fp32,
     )
     dev_run = run_from_topk(list(range(len(dev_emb))), dev_top)
     dev_metrics = evaluate_run(dev_run, dev_qrels, recall_ks=(k,))
@@ -187,7 +189,8 @@ def mine(
     train_emb = encode_cache(q_enc, train_query_cache, ecfg)
     kt = min(cfg.topk_training, corpus_emb.shape[0])
     _, train_top = mips_topk_chunked_queries(
-        train_emb, corpus_emb, kt, q_chunk=cfg.q_chunk, tile=cfg.mips_tile
+        train_emb, corpus_emb, kt, q_chunk=cfg.q_chunk, tile=cfg.mips_tile,
+        exact_fp32=cfg.exact_fp32,
     )
     query_ids = np.arange(len(train_emb))
     negatives, mrr_scores = generate_negatives(

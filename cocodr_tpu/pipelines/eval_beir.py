@@ -44,6 +44,7 @@ class BeirEvalConfig:
     mips_tile: int = 32768
     ndcg_k: int = 10
     recall_ks: tuple = (10, 100, 1000)
+    exact_fp32: bool = False
 
     @classmethod
     def for_task(cls, task: str, **kw) -> "BeirEvalConfig":
@@ -117,7 +118,8 @@ def evaluate_beir_task(
 
     k = min(cfg.top_k, corpus_emb.shape[0])
     _, top_ids = mips_topk_chunked_queries(
-        query_emb, corpus_emb, k, q_chunk=cfg.q_chunk, tile=cfg.mips_tile
+        query_emb, corpus_emb, k, q_chunk=cfg.q_chunk, tile=cfg.mips_tile,
+        exact_fp32=cfg.exact_fp32,
     )
 
     off2docid = {v: k_ for k_, v in docid2off.items()}

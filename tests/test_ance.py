@@ -87,6 +87,7 @@ def test_ance_loop_improves(tmp_path):
         batch_size=16,
         q_chunk=16,
         mips_tile=16,
+        exact_fp32=True,
     )
     work = str(tmp_path / "ann")
     ndcgs = []

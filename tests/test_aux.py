@@ -1,0 +1,141 @@
+"""Aux components: criterion zoo vs torch, EMA teacher, noise, schedules,
+span preprocessing, episode LR decay, metrics logger."""
+import json
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from cocodr_tpu.losses.criteria import (
+    LOSS_REGISTRY,
+    ce_loss,
+    hellinger_loss,
+    js_loss,
+    kl_loss,
+    mse_loss,
+    sym_kl_loss,
+)
+from cocodr_tpu.utils.misc import (
+    add_embedding_noise,
+    episode_lr_decay,
+    mean_teacher_update,
+)
+
+torch = pytest.importorskip("torch")
+F = torch.nn.functional
+
+
+def test_criteria_match_torch():
+    rng = np.random.RandomState(0)
+    a = rng.randn(6, 9).astype(np.float32)
+    b = rng.randn(6, 9).astype(np.float32)
+    ta, tb = torch.tensor(a), torch.tensor(b)
+
+    np.testing.assert_allclose(
+        float(kl_loss(jnp.asarray(a), jnp.asarray(b))),
+        float(
+            F.kl_div(
+                F.log_softmax(ta, -1), F.softmax(tb, -1), reduction="batchmean"
+            )
+        ),
+        rtol=1e-5,
+    )
+    np.testing.assert_allclose(
+        float(mse_loss(jnp.asarray(a), jnp.asarray(b))),
+        float(F.mse_loss(ta, tb)),
+        rtol=1e-6,
+    )
+    targets = rng.randint(0, 9, 6)
+    np.testing.assert_allclose(
+        float(ce_loss(jnp.asarray(a), jnp.asarray(targets))),
+        float(F.cross_entropy(ta, torch.tensor(targets, dtype=torch.long))),
+        rtol=1e-5,
+    )
+    # symmetry / bounds
+    assert float(sym_kl_loss(jnp.asarray(a), jnp.asarray(b))) == pytest.approx(
+        float(sym_kl_loss(jnp.asarray(b), jnp.asarray(a))), rel=1e-5
+    )
+    assert 0 <= float(js_loss(jnp.asarray(a), jnp.asarray(b))) <= np.log(2) + 1e-6
+    h = float(hellinger_loss(jnp.asarray(a), jnp.asarray(b)))
+    assert 0 <= h <= 1 + 1e-6
+    assert len(LOSS_REGISTRY) == 10
+
+
+def test_mean_teacher_update():
+    t = {"w": jnp.ones(3)}
+    s = {"w": jnp.zeros(3)}
+    t2 = mean_teacher_update(t, s, alpha=0.9)
+    np.testing.assert_allclose(np.asarray(t2["w"]), 0.9)
+    t3 = mean_teacher_update(t, s, average="simple", step=4)
+    np.testing.assert_allclose(np.asarray(t3["w"]), 0.75)
+
+
+def test_embedding_noise():
+    emb = jnp.zeros((4, 8))
+    out = add_embedding_noise(emb, jax.random.PRNGKey(0), 0.1)
+    assert np.abs(np.asarray(out)).mean() > 0.5  # scale 26.8 * 0.1
+    same = add_embedding_noise(emb, jax.random.PRNGKey(0), 0.0)
+    np.testing.assert_array_equal(np.asarray(same), 0)
+
+
+def test_episode_lr_decay():
+    assert episode_lr_decay(1.0, 0, 100) == 1.0
+    assert episode_lr_decay(1.0, 50, 100) == 0.5
+    assert episode_lr_decay(1.0, 99, 100) == pytest.approx(0.2)  # floor
+
+
+def test_span_preprocess(tmp_path):
+    transformers = pytest.importorskip("transformers")
+    vocab = "[PAD] [UNK] [CLS] [SEP] [MASK] the quick fox runs far away".split()
+    vp = tmp_path / "vocab.txt"
+    vp.write_text("\n".join(vocab))
+    tok = transformers.BertTokenizerFast(vocab_file=str(vp), do_lower_case=True)
+
+    from cocodr_tpu.data.coco_spans import (
+        preprocess_corpus_to_spans,
+        span_batches,
+    )
+
+    corpus = tmp_path / "corpus.jsonl"
+    corpus.write_text(
+        json.dumps(
+            {"_id": "1", "title": "The Fox",
+             "text": "The quick fox runs. The fox runs far away. Quick!"}
+        )
+        + "\n"
+        + json.dumps({"_id": "2", "title": "", "text": "far far away."})
+        + "\n"
+    )
+    out = tmp_path / "spans.jsonl"
+    n = preprocess_corpus_to_spans(str(corpus), str(out), tok, target_len=6)
+    assert n == 2
+    docs = [json.loads(l) for l in open(out)]
+    assert all(len(d["spans"]) >= 1 for d in docs)
+    assert all(
+        isinstance(t, int) for d in docs for s in d["spans"] for t in s
+    )
+
+    from cocodr_tpu.data.coco_collator import CoCondenserCollator
+
+    coll = CoCondenserCollator(tok, max_seq_length=10)
+    batches = list(span_batches([str(out)], coll, docs_per_batch=2))
+    assert batches and batches[0]["input_ids"].shape == (4, 10)
+
+
+def test_metrics_logger(tmp_path):
+    from cocodr_tpu.utils.logging import MetricsLogger, StepTimer
+
+    jp = str(tmp_path / "m.jsonl")
+    ml = MetricsLogger(log_dir=str(tmp_path / "tb"), jsonl_path=jp)
+    ml.log(1, {"loss": 0.5})
+    ml.log(2, {"loss": jnp.asarray(0.25)})
+    ml.close()
+    recs = [json.loads(l) for l in open(jp)]
+    assert recs[1]["loss"] == 0.25
+
+    st = StepTimer()
+    with st.phase("encode"):
+        pass
+    assert st.summary()["encode"]["count"] == 1

@@ -23,7 +23,7 @@ def test_mips_topk_exact():
     rng = np.random.RandomState(0)
     q = rng.randn(13, 24).astype(np.float32)
     c = rng.randn(1000, 24).astype(np.float32)
-    vals, ids = mips_topk(jnp.asarray(q), jnp.asarray(c), k=17, tile=128)
+    vals, ids = mips_topk(jnp.asarray(q), jnp.asarray(c), k=17, tile=128, exact_fp32=True)
     ref_vals, ref_ids = _brute(q, c, 17)
     np.testing.assert_allclose(np.asarray(vals), ref_vals, atol=1e-4, rtol=1e-5)
     # ids may differ on exact ties; verify score-equivalence instead
@@ -35,7 +35,7 @@ def test_mips_topk_k_larger_than_tile():
     rng = np.random.RandomState(1)
     q = rng.randn(4, 8).astype(np.float32)
     c = rng.randn(300, 8).astype(np.float32)
-    vals, ids = mips_topk(jnp.asarray(q), jnp.asarray(c), k=100, tile=64)
+    vals, ids = mips_topk(jnp.asarray(q), jnp.asarray(c), k=100, tile=64, exact_fp32=True)
     ref_vals, _ = _brute(q, c, 100)
     np.testing.assert_allclose(np.asarray(vals), ref_vals, atol=1e-4, rtol=1e-5)
 
@@ -44,7 +44,7 @@ def test_mips_topk_unaligned_corpus():
     rng = np.random.RandomState(2)
     q = rng.randn(3, 16).astype(np.float32)
     c = rng.randn(777, 16).astype(np.float32)
-    vals, ids = mips_topk(jnp.asarray(q), jnp.asarray(c), k=10, tile=256)
+    vals, ids = mips_topk(jnp.asarray(q), jnp.asarray(c), k=10, tile=256, exact_fp32=True)
     ref_vals, _ = _brute(q, c, 10)
     np.testing.assert_allclose(np.asarray(vals), ref_vals, atol=1e-4, rtol=1e-5)
     assert np.asarray(ids).max() < 777
@@ -54,7 +54,7 @@ def test_chunked_queries():
     rng = np.random.RandomState(3)
     q = rng.randn(50, 8).astype(np.float32)
     c = rng.randn(200, 8).astype(np.float32)
-    vals, ids = mips_topk_chunked_queries(q, c, k=5, q_chunk=16, tile=64)
+    vals, ids = mips_topk_chunked_queries(q, c, k=5, q_chunk=16, tile=64, exact_fp32=True)
     ref_vals, _ = _brute(q, c, 5)
     np.testing.assert_allclose(vals, ref_vals, atol=1e-4, rtol=1e-5)
 
@@ -70,7 +70,7 @@ def test_sharded_mips_topk_8dev():
 
     def body(q_rep, c_shard):
         offset = jax.lax.axis_index("data") * shard
-        return sharded_mips_topk(q_rep, c_shard, offset, K, "data", tile=64)
+        return sharded_mips_topk(q_rep, c_shard, offset, K, "data", tile=64, exact_fp32=True)
 
     f = shard_map(
         body,
@@ -102,3 +102,44 @@ def test_kmeans_separable():
     # assignment fn consistent
     re_ids = np.asarray(assign_clusters(jnp.asarray(x), cents))
     np.testing.assert_array_equal(re_ids, ids)
+
+
+def test_blockmax_exact_vs_naive():
+    """Two-level block-max top-k must equal the naive bf16 sweep exactly
+    (same score function, provably no candidate misses)."""
+    from cocodr_tpu.ops.mips import mips_topk_blockmax
+
+    rng = np.random.RandomState(7)
+    q = rng.randn(9, 32).astype(np.float32)
+    c = rng.randn(3000, 32).astype(np.float32)
+    v_fast, i_fast = mips_topk_blockmax(
+        jnp.asarray(q), jnp.asarray(c), k=25, tile=512, block=8,
+        rescore_chunk=4,
+    )
+    v_ref, i_ref = mips_topk(jnp.asarray(q), jnp.asarray(c), k=25, tile=512)
+    np.testing.assert_allclose(np.asarray(v_fast), np.asarray(v_ref), atol=1e-5)
+    # adversarial: many top items packed into one block
+    c2 = c.copy()
+    c2[100:108] = q[0] * 10  # 8 best items in one 8-wide block
+    v2, i2 = mips_topk_blockmax(
+        jnp.asarray(q), jnp.asarray(c2), k=25, tile=512, block=8,
+        rescore_chunk=4,
+    )
+    v2r, _ = mips_topk(jnp.asarray(q), jnp.asarray(c2), k=25, tile=512)
+    np.testing.assert_allclose(np.asarray(v2), np.asarray(v2r), atol=1e-5)
+    assert set(range(100, 108)).issubset(set(np.asarray(i2)[0].tolist()))
+
+
+def test_blockmax_unaligned():
+    from cocodr_tpu.ops.mips import mips_topk_blockmax
+
+    rng = np.random.RandomState(8)
+    q = rng.randn(3, 16).astype(np.float32)
+    c = rng.randn(777, 16).astype(np.float32)
+    v, i = mips_topk_blockmax(
+        jnp.asarray(q), jnp.asarray(c), k=15, tile=256, block=8,
+        rescore_chunk=2,
+    )
+    vr, _ = mips_topk(jnp.asarray(q), jnp.asarray(c), k=15, tile=256)
+    np.testing.assert_allclose(np.asarray(v), np.asarray(vr), atol=1e-5)
+    assert np.asarray(i).max() < 777
