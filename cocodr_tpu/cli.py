@@ -232,6 +232,115 @@ def cmd_ance(args):
         save_checkpoint(args.ckpt_dir, state, keep=3)
 
 
+def cmd_preprocess_coco(args):
+    """BEIR corpora -> span jsonl files (the 18-task COCO mix)."""
+    from cocodr_tpu.data.coco_spans import preprocess_corpus_to_spans
+
+    tokenizer = _load_tokenizer(args.tokenizer)
+    os.makedirs(args.out, exist_ok=True)
+    for data_dir in args.data_dirs:
+        task = os.path.basename(os.path.normpath(data_dir))
+        out = os.path.join(args.out, f"{task}.spans.jsonl")
+        n = preprocess_corpus_to_spans(
+            os.path.join(data_dir, "corpus.jsonl"),
+            out,
+            tokenizer,
+            target_len=args.target_len,
+        )
+        print(f"{task}: {n} documents -> {out}")
+
+
+def cmd_coco(args):
+    _setup_jax(args)
+    import glob as _glob
+
+    import jax
+
+    from cocodr_tpu.core.configs import CocoStageConfig, PRESETS
+    from cocodr_tpu.data.coco_collator import CoCondenserCollator
+    from cocodr_tpu.data.coco_spans import span_batches
+    from cocodr_tpu.models.condenser import (
+        CoCondenserForPretraining,
+        condenser_params_from_torch,
+    )
+    from cocodr_tpu.models.hf import config_from_hf, load_torch_state_dict
+    from cocodr_tpu.pipelines.coco import (
+        CocoConfig,
+        build_coco_train_step,
+        run_coco_pretrain,
+    )
+    from cocodr_tpu.utils.train_state import TrainState
+
+    cfg = PRESETS[args.preset]() if args.preset else CocoStageConfig.base()
+    with open(os.path.join(args.checkpoint, "config.json")) as f:
+        bert_cfg = config_from_hf(json.load(f))
+    model = CoCondenserForPretraining(
+        bert_cfg,
+        n_head_layers=cfg.n_head_layers,
+        skip_from=cfg.skip_from,
+        late_mlm=cfg.late_mlm,
+    )
+    weights = None
+    for name in ("model.safetensors", "pytorch_model.bin"):
+        p = os.path.join(args.checkpoint, name)
+        if os.path.exists(p):
+            weights = load_torch_state_dict(p)
+            break
+    head_sd = None
+    head_path = os.path.join(args.checkpoint, "model.pt")
+    if os.path.exists(head_path):
+        head_sd = load_torch_state_dict(head_path)
+    params = condenser_params_from_torch(
+        weights, bert_cfg, cfg.n_head_layers, head_state_dict=head_sd
+    )
+    if head_sd is None:
+        # fresh c_head init (the from-scratch Condenser case)
+        import jax.numpy as jnp
+
+        init = model.init(
+            jax.random.PRNGKey(0),
+            jnp.ones((2, 8), jnp.int32),
+            jnp.ones((2, 8), jnp.int32),
+            jnp.full((2, 8), -100, jnp.int32),
+        )["params"]
+        for i in range(cfg.n_head_layers):
+            params[f"c_head_{i}"] = init[f"c_head_{i}"]
+
+    tokenizer = _load_tokenizer(args.tokenizer or args.checkpoint)
+    collator = CoCondenserCollator(
+        tokenizer,
+        mlm_probability=cfg.mlm_probability,
+        max_seq_length=cfg.max_seq_length,
+    )
+    span_files = sorted(_glob.glob(os.path.join(args.train_dir, "*.jsonl")))
+    batches = span_batches(
+        span_files,
+        collator,
+        docs_per_batch=args.batch_docs or cfg.per_device_batch_docs,
+        num_epochs=cfg.num_epochs,
+    )
+    tx = cfg.optimizer.build()
+    state = TrainState.create(params, tx)
+    step = build_coco_train_step(
+        model,
+        tx,
+        CocoConfig(
+            max_seq_length=cfg.max_seq_length,
+            cache_chunk_size=args.cache_chunk_size,
+        ),
+    )
+    run_coco_pretrain(
+        state,
+        step,
+        batches,
+        jax.random.PRNGKey(args.seed),
+        max_steps=args.max_steps,
+        log_fn=lambda s, m: print(json.dumps({"step": s, **m})),
+        ckpt_dir=args.ckpt_dir,
+        save_steps=args.save_steps,
+    )
+
+
 def cmd_convert_hf(args):
     """HF torch checkpoint dir -> report + (optionally) flax export check."""
     model, params, cfg = _load_model_params(args.hf_dir, args.model_type)
@@ -294,6 +403,26 @@ def main(argv=None):
     sp.add_argument("--steps-per-round", type=int, default=5000)
     sp.add_argument("--batch-size", type=int, default=0)
     sp.set_defaults(fn=cmd_ance)
+
+    sp = sub.add_parser("preprocess-coco")
+    sp.add_argument("--data-dirs", nargs="+", required=True)
+    sp.add_argument("--out", required=True)
+    sp.add_argument("--tokenizer", required=True)
+    sp.add_argument("--target-len", type=int, default=30)
+    sp.set_defaults(fn=cmd_preprocess_coco)
+
+    sp = sub.add_parser("coco")
+    _add_common(sp)
+    sp.add_argument("--train-dir", required=True)
+    sp.add_argument("--checkpoint", required=True)
+    sp.add_argument("--tokenizer", default=None)
+    sp.add_argument("--ckpt-dir", required=True)
+    sp.add_argument("--batch-docs", type=int, default=0)
+    sp.add_argument("--cache-chunk-size", type=int, default=0)
+    sp.add_argument("--max-steps", type=int, default=1000000)
+    sp.add_argument("--save-steps", type=int, default=10000)
+    sp.add_argument("--seed", type=int, default=0)
+    sp.set_defaults(fn=cmd_coco)
 
     sp = sub.add_parser("convert-hf")
     sp.add_argument("--hf-dir", required=True)

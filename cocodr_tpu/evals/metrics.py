@@ -104,23 +104,32 @@ def evaluate_run(
     return out
 
 
-def run_from_topk(query_ids, doc_ids_matrix, id_map=None, skip_self=False):
+def run_from_topk(query_ids, doc_ids_matrix, id_map=None, skip_self=False,
+                  dedupe=False):
     """Build a run dict from MIPS output.
 
     query_ids: [Q] external query ids; doc_ids_matrix: [Q, k] corpus offsets
     (or -1 padding); id_map: optional offset -> external doc id mapping;
     skip_self: drop a doc whose external id equals the query id (ArguAna
-    self-match skip, reference evaluate_beir.py:143-145).
+    self-match skip, reference evaluate_beir.py:143-145); dedupe: keep only
+    the best-ranked hit per doc id — required for multi-chunk docs whose
+    chunks are separate index entries (the reference's `seen_pid` sets,
+    evaluate_beir.py:132-134, ANCE/drivers/run_ann_data_gen.py:201-204).
     """
     run = {}
     for qi, row in zip(query_ids, doc_ids_matrix):
         docs: List = []
+        seen = set()
         for off in row:
             if off < 0:
                 continue
             d = id_map[off] if id_map is not None else int(off)
             if skip_self and d == qi:
                 continue
+            if dedupe:
+                if d in seen:
+                    continue
+                seen.add(d)
             docs.append(d)
         run[qi] = docs
     return run

@@ -109,21 +109,46 @@ def mips_topk(
     return vals, ids
 
 
-@functools.partial(jax.jit, static_argnames=("k",))
-def _rescore_fp32(queries, corpus, cand_ids, k):
-    """Exact fp32 rescore of per-query candidate sets -> final top-k.
+@functools.partial(jax.jit, static_argnames=("k", "dtype", "q_chunk"))
+def rescore_topk(queries, corpus, cand_ids, k, dtype=jnp.float32,
+                 q_chunk: int = 128):
+    """Rescore per-query candidate sets -> final top-k.
 
     queries [Q, D]; cand_ids [Q, K'] corpus offsets (may contain -1 padding).
+    dtype: multiply dtype (bf16 to stay consistent with a bf16 sweep, fp32
+    for exact final ordering); accumulation is always fp32. The candidate
+    gather runs in query chunks (lax.map) to bound the [chunk, K', D]
+    gather buffer.
     """
-    q32 = queries.astype(jnp.float32)
-    cand = corpus[jnp.maximum(cand_ids, 0)].astype(jnp.float32)  # [Q, K', D]
-    scores = jnp.einsum(
-        "qd,qkd->qk", q32, cand, preferred_element_type=jnp.float32
+    Q, D = queries.shape
+    Kp = cand_ids.shape[1]
+    n_chunks = -(-Q // q_chunk)
+    pad = n_chunks * q_chunk - Q
+    q_p = jnp.pad(queries, ((0, pad), (0, 0)))
+    c_p = jnp.pad(cand_ids, ((0, pad), (0, 0)), constant_values=-1)
+
+    def one(args):
+        qc, cc = args
+        qq = qc.astype(dtype)
+        cand = corpus[jnp.maximum(cc, 0)].astype(dtype)  # [C, K', D]
+        scores = jnp.einsum(
+            "qd,qkd->qk", qq, cand, preferred_element_type=jnp.float32
+        )
+        scores = jnp.where(cc >= 0, scores, -jnp.inf)
+        vals, pos = jax.lax.top_k(scores, k)
+        return vals, jnp.take_along_axis(cc, pos, axis=1)
+
+    vals, ids = jax.lax.map(
+        one,
+        (
+            q_p.reshape(n_chunks, q_chunk, D),
+            c_p.reshape(n_chunks, q_chunk, Kp),
+        ),
     )
-    scores = jnp.where(cand_ids >= 0, scores, -jnp.inf)
-    vals, pos = jax.lax.top_k(scores, k)
-    ids = jnp.take_along_axis(cand_ids, pos, axis=1)
-    return vals, ids
+    return vals.reshape(-1, k)[:Q], ids.reshape(-1, k)[:Q]
+
+
+_rescore_fp32 = rescore_topk  # backward-compat alias
 
 
 def mips_topk_refined(
@@ -245,19 +270,47 @@ def mips_topk_blockmax(
     )
 
 
+def _tpu_like_backend() -> bool:
+    try:
+        return jax.default_backend() in ("tpu", "axon")
+    except RuntimeError:
+        return False
+
+
 def mips_topk_chunked_queries(
     queries, corpus, k, q_chunk: int = 4096, refine: bool = True,
-    oversample: int = 2, **kw
+    oversample: int = 2, method: str = "auto", **kw
 ):
     """Outer loop over query chunks for very large Q (host-level loop —
     each chunk is one jit call; keeps peak memory at Q_chunk*k state).
-    refine=True uses the bf16-sweep + fp32-rescore mode."""
+
+    method:
+      'auto'     — pallas hierarchical kernel on TPU backends, XLA block-max
+                   elsewhere (both exact);
+      'pallas'   — force the pallas hierarchical kernel;
+      'blockmax' — force the XLA block-max path;
+      'naive'    — per-tile sort sweep (reference-style; also the
+                   exact_fp32 path).
+    """
     import numpy as np
+
+    if kw.get("exact_fp32"):
+        method = "naive"
+    if method == "auto":
+        method = "pallas" if _tpu_like_backend() else "blockmax"
 
     out_v, out_i = [], []
     for s in range(0, queries.shape[0], q_chunk):
         qc = queries[s : s + q_chunk]
-        if refine and not kw.get("exact_fp32"):
+        if method == "pallas":
+            from cocodr_tpu.ops.pallas_mips import mips_topk_hierarchical
+
+            v, i = mips_topk_hierarchical(qc, corpus, k)
+        elif method == "blockmax":
+            v, i = mips_topk_blockmax(
+                qc, corpus, k, tile=min(kw.get("tile", 16384) * 4, 65536)
+            )
+        elif refine and not kw.get("exact_fp32"):
             v, i = mips_topk_refined(
                 qc, corpus, k, oversample=oversample,
                 tile=kw.get("tile", 16384), approx=kw.get("approx", False),

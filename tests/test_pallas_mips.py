@@ -1,0 +1,95 @@
+"""Pallas fused block-max sweep (interpret mode on CPU) vs the XLA path."""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from cocodr_tpu.ops.mips import mips_topk
+from cocodr_tpu.ops.pallas_mips import (
+    blockmax_sweep_pallas,
+    mips_topk_blockmax_pallas,
+)
+
+
+def test_pallas_sweep_matches_xla():
+    rng = np.random.RandomState(0)
+    Q, N, D, L = 16, 512, 32, 8
+    q = rng.randn(Q, D).astype(np.float32)
+    c = rng.randn(N, D).astype(np.float32)
+    bm = blockmax_sweep_pallas(
+        jnp.asarray(q), jnp.asarray(c), tile=128, block=L, q_tile=8, interpret=True
+    )
+    # reference: bf16 matmul + blockmax
+    s = (q.astype(np.float32) @ c.T.astype(np.float32))
+    s_bf = np.asarray(
+        jnp.matmul(
+            jnp.asarray(q, jnp.bfloat16),
+            jnp.asarray(c, jnp.bfloat16).T,
+            preferred_element_type=jnp.float32,
+        )
+    )
+    ref = s_bf.reshape(Q, N // L, L).max(-1)
+    np.testing.assert_allclose(np.asarray(bm), ref, atol=1e-5, rtol=1e-5)
+
+
+def test_pallas_topk_matches_naive():
+    rng = np.random.RandomState(1)
+    Q, N, D = 8, 700, 16  # unaligned N exercises padding + extra block
+    q = rng.randn(Q, D).astype(np.float32)
+    c = rng.randn(N, D).astype(np.float32)
+    v, i = mips_topk_blockmax_pallas(
+        jnp.asarray(q), jnp.asarray(c), k=20, tile=128, block=8, q_tile=8,
+        interpret=True,
+    )
+    v_ref, _ = mips_topk(jnp.asarray(q), jnp.asarray(c), k=20, tile=128)
+    np.testing.assert_allclose(
+        np.asarray(v), np.asarray(v_ref), atol=2e-5, rtol=1e-5
+    )
+    assert np.asarray(i).max() < N and np.asarray(i).min() >= 0
+
+
+def test_pallas_topk_packed_block():
+    rng = np.random.RandomState(2)
+    Q, N, D = 4, 256, 16
+    q = rng.randn(Q, D).astype(np.float32)
+    c = rng.randn(N, D).astype(np.float32)
+    c[64:72] = q[0] * 10  # 8 best docs for q0 in one block
+    v, i = mips_topk_blockmax_pallas(
+        jnp.asarray(q), jnp.asarray(c), k=10, tile=64, block=8, q_tile=4,
+        interpret=True,
+    )
+    assert set(range(64, 72)).issubset(set(np.asarray(i)[0].tolist()))
+
+
+def test_hierarchical_matches_naive():
+    from cocodr_tpu.ops.pallas_mips import mips_topk_hierarchical
+
+    rng = np.random.RandomState(5)
+    Q, N, D = 8, 700, 16
+    q = rng.randn(Q, D).astype(np.float32)
+    c = rng.randn(N, D).astype(np.float32)
+    v, i = mips_topk_hierarchical(
+        jnp.asarray(q), jnp.asarray(c), k=20, tile=128, fine=4, coarse=4,
+        q_tile=8, interpret=True,
+    )
+    v_ref, _ = mips_topk(jnp.asarray(q), jnp.asarray(c), k=20, tile=128)
+    np.testing.assert_allclose(
+        np.asarray(v), np.asarray(v_ref), atol=2e-5, rtol=1e-5
+    )
+    assert np.asarray(i).min() >= 0 and np.asarray(i).max() < N
+
+
+def test_hierarchical_packed_block():
+    from cocodr_tpu.ops.pallas_mips import mips_topk_hierarchical
+
+    rng = np.random.RandomState(6)
+    Q, N, D = 4, 256, 16
+    q = rng.randn(Q, D).astype(np.float32)
+    c = rng.randn(N, D).astype(np.float32)
+    c[64:72] = q[0] * 10  # 8 best docs for q0 packed into 2 fine blocks
+    v, i = mips_topk_hierarchical(
+        jnp.asarray(q), jnp.asarray(c), k=10, tile=64, fine=4, coarse=4,
+        q_tile=4, interpret=True,
+    )
+    assert set(range(64, 72)).issubset(set(np.asarray(i)[0].tolist()))
