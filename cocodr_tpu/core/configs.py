@@ -26,6 +26,11 @@ class OptimizerConfig:
     weight_decay: float = 0.0
     eps: float = 1e-6
     max_grad_norm: float = 1.0
+    # gradient accumulation (DDP no_sync equivalent; reference
+    # warmup/drivers/run_bm25_warmup.py:211-215). NOTE: cannot emulate a
+    # larger CONTRASTIVE batch (the COCO/README warning) — use grad-cache
+    # or mesh scale for that.
+    grad_accum_steps: int = 1
 
     def build(self):
         import optax
@@ -36,12 +41,16 @@ class OptimizerConfig:
             self.lr, self.warmup_steps, self.total_steps
         )
         if self.name == "lamb":
-            return lamb(sched, eps=self.eps, weight_decay=self.weight_decay)
-        if self.name == "adamw":
-            return optax.adamw(
+            tx = lamb(sched, eps=self.eps, weight_decay=self.weight_decay)
+        elif self.name == "adamw":
+            tx = optax.adamw(
                 sched, eps=self.eps, weight_decay=self.weight_decay
             )
-        raise ValueError(self.name)
+        else:
+            raise ValueError(self.name)
+        if self.grad_accum_steps > 1:
+            tx = optax.MultiSteps(tx, every_k_schedule=self.grad_accum_steps)
+        return tx
 
 
 @dataclasses.dataclass(frozen=True)

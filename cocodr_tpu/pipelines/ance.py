@@ -52,6 +52,14 @@ class MineConfig:
     q_chunk: int = 4096
     mips_tile: int = 32768
     exact_fp32: bool = False  # fp32 sweep (FAISS-bit parity); default bf16+fp32 rescore
+    # mine each round over 1/chunk_factor of the train queries, rotating by
+    # round (reference ann_chunk_factor, data_gen.py:332-386); <=1 disables.
+    # ignored when cluster_query=True, matching the reference.
+    ann_chunk_factor: int = 1
+    # cache corpus embeddings under this dir and reuse them for the same
+    # checkpoint (reference embedding_dir_exist/load_embedding,
+    # data_gen.py:438-495)
+    emb_cache_dir: str = ""
     seed: int = 0
 
 
@@ -173,7 +181,18 @@ def mine(
     doc_enc = Encoder(model, params, mesh=mesh, is_query=False)
     q_enc = Encoder(model, params, mesh=mesh, is_query=True)
     if corpus_emb is None:
-        corpus_emb = encode_cache(doc_enc, passage_cache, ecfg)
+        emb_file = None
+        if cfg.emb_cache_dir and checkpoint_name:
+            os.makedirs(cfg.emb_cache_dir, exist_ok=True)
+            safe = checkpoint_name.replace(os.sep, "_")
+            emb_file = os.path.join(cfg.emb_cache_dir, f"corpus_{safe}.npy")
+        if emb_file and os.path.exists(emb_file):
+            corpus_emb = np.load(emb_file)
+        else:
+            corpus_emb = encode_cache(doc_enc, passage_cache, ecfg)
+            if emb_file:
+                np.save(emb_file + ".tmp.npy", corpus_emb)
+                os.replace(emb_file + ".tmp.npy", emb_file)
 
     # dev eval at this checkpoint (data_gen.py:306-319)
     dev_emb = encode_cache(q_enc, dev_query_cache, ecfg)
@@ -185,14 +204,25 @@ def mine(
     dev_run = run_from_topk(list(range(len(dev_emb))), dev_top)
     dev_metrics = evaluate_run(dev_run, dev_qrels, recall_ks=(k,))
 
-    # train-query encode + mine
-    train_emb = encode_cache(q_enc, train_query_cache, ecfg)
+    # train-query encode + mine; without clustering, rotate over
+    # 1/chunk_factor of the queries per round (data_gen.py:375-386)
+    n_train = len(train_query_cache)
+    if cfg.ann_chunk_factor > 1 and not cfg.cluster_query:
+        per = n_train // cfg.ann_chunk_factor
+        eff = output_num % cfg.ann_chunk_factor
+        start = per * eff
+        end = n_train if eff == cfg.ann_chunk_factor - 1 else start + per
+        query_ids = np.arange(start, end)
+    else:
+        query_ids = np.arange(n_train)
+    train_emb = encode_cache(
+        q_enc, train_query_cache, ecfg, indices=query_ids
+    )
     kt = min(cfg.topk_training, corpus_emb.shape[0])
     _, train_top = mips_topk_chunked_queries(
         train_emb, corpus_emb, kt, q_chunk=cfg.q_chunk, tile=cfg.mips_tile,
         exact_fp32=cfg.exact_fp32,
     )
-    query_ids = np.arange(len(train_emb))
     negatives, mrr_scores = generate_negatives(
         train_top, query_ids, train_positives, cfg, rng
     )
@@ -207,7 +237,10 @@ def mine(
             seed=cfg.seed,
         )
         assign = np.asarray(assign)
-        clusters = {int(q): int(assign[q]) for q in range(len(train_emb))}
+        clusters = {
+            int(query_ids[pos]): int(assign[pos])
+            for pos in range(len(train_emb))
+        }
         weights = {q: 1.0 for q in clusters}  # reference writes weight=1
 
     write_ann_data(
@@ -326,6 +359,64 @@ def ance_round(
         metrics_cb=metrics_cb,
     )
     return state, dev_metrics, steps
+
+
+def checkpoint_params_loader(ckpt_dir: str, template_state):
+    """params_loader for mine_loop: latest valid checkpoint -> (name, params).
+
+    Mirrors get_latest_checkpoint's validity protocol (reference
+    ANCE/drivers/run_ann.py:51-67 — our DONE marker plays scheduler.pt's
+    role)."""
+    from cocodr_tpu.utils.train_state import latest_checkpoint, load_checkpoint
+
+    def load():
+        path = latest_checkpoint(ckpt_dir)
+        if path is None:
+            return None
+        state = load_checkpoint(path, template_state)
+        return os.path.basename(path), state.params
+
+    return load
+
+
+def train_loop(
+    state,
+    train_step: Callable,
+    batcher,
+    ann_dir: str,
+    ckpt_dir: str,
+    batch_size: int,
+    save_steps: int = 5000,
+    poll_secs: float = 30.0,
+    max_ann_files: Optional[int] = None,
+    steps_per_file: Optional[int] = None,
+    metrics_cb: Optional[Callable] = None,
+):
+    """Async consumer: poll for new ann files, train on each, checkpoint
+    (reference ANCE/drivers/run_ann.py:220-285 polling + :376-403 saves)."""
+    from cocodr_tpu.utils.train_state import save_checkpoint
+
+    seen = -1
+    consumed = 0
+    while max_ann_files is None or consumed < max_ann_files:
+        n, data_path, _meta = get_latest_ann_data(ann_dir)
+        if n <= seen:
+            time.sleep(poll_secs)
+            continue
+        seen = n
+        state, steps = train_on_ann_file(
+            state,
+            train_step,
+            batcher,
+            data_path,
+            batch_size,
+            max_steps=steps_per_file,
+            seed=n,
+            metrics_cb=metrics_cb,
+        )
+        save_checkpoint(ckpt_dir, state, keep=3)
+        consumed += 1
+    return state
 
 
 def mine_loop(

@@ -66,6 +66,44 @@ class Encoder:
         return self._fn(self.params, ids, mask)
 
 
+def encode_cache_multivector(
+    encoder: Encoder,
+    cache,
+    cfg: EncodeConfig = EncodeConfig(),
+    chunk_len: int = 512,
+):
+    """Multi-chunk documents -> flat multi-vector index.
+
+    The encoder emits [B, C, D] (one vector per chunk,
+    models/dual_encoder.py:_multi_chunk_emb). Returns (emb [R, D],
+    row2doc [R]) with padded chunks (no real tokens) dropped — the flat
+    layout the reference searches over, deduped downstream
+    (reference ANCE/drivers/run_ann_data_gen.py:201-204,
+    evaluate/evaluation/evaluate_beir.py:132-134).
+    """
+    n = len(cache)
+    bs = cfg.batch_size
+    embs, row2doc = [], []
+    for s in range(0, n, bs):
+        idx = np.arange(s, min(s + bs, n))
+        pad = bs - len(idx)
+        gather = np.concatenate([idx, np.repeat(idx[-1:], pad)]) if pad else idx
+        tokens, mask = cache.batch_with_mask(gather)
+        emb = np.asarray(encoder(tokens, mask), cfg.emb_dtype)  # [B, C, D]
+        C = emb.shape[1]
+        chunk_real = (
+            mask.reshape(len(gather), C, -1)[:, :, 0].astype(bool)
+        )
+        if pad:
+            emb, chunk_real = emb[: len(idx)], chunk_real[: len(idx)]
+        keep = chunk_real.reshape(-1)
+        flat = emb.reshape(-1, emb.shape[-1])[keep]
+        docs = np.repeat(idx, C)[keep]
+        embs.append(flat)
+        row2doc.append(docs)
+    return np.concatenate(embs), np.concatenate(row2doc)
+
+
 def encode_cache(
     encoder: Encoder,
     cache,

@@ -107,6 +107,9 @@ def run_warmup(
 
     batcher = TripleTextBatcher(tokenizer, cfg.max_seq_len)
     done = False
+    # deterministic resume: fast-forward the batches the restored step
+    # already consumed (reference warmup driver :195-198)
+    skip = int(state.step)
     for epoch in range(cfg.num_epochs):
         if done:
             break
@@ -114,6 +117,10 @@ def run_warmup(
         for triple in stream_triples(triples_path):
             buf.append(triple)
             if len(buf) < cfg.batch_size:
+                continue
+            if skip > 0:
+                skip -= 1
+                buf = []
                 continue
             batch = {
                 k: jnp.asarray(v) for k, v in batcher.collate(buf).items()
