@@ -342,6 +342,13 @@ class BertModel(nn.Module):
         deterministic: bool = True,
     ):
         B, S = input_ids.shape
+        if S > self.cfg.max_position_embeddings:
+            # out-of-range embedding lookups return NaN silently (jnp.take
+            # fill mode) — fail loudly at trace time instead
+            raise ValueError(
+                f"sequence length {S} exceeds max_position_embeddings "
+                f"{self.cfg.max_position_embeddings}"
+            )
         if attention_mask is None:
             attention_mask = jnp.ones((B, S), jnp.int32)
         if token_type_ids is None:

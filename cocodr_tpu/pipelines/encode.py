@@ -28,16 +28,29 @@ class EncodeConfig:
 
 
 class Encoder:
-    """jit-compiled embedding function over a (possibly 1-device) mesh."""
+    """jit-compiled embedding function over a (possibly 1-device) mesh.
+
+    noise_level > 0 adds the reference's Gaussian embedding perturbation for
+    robustness probing (reference evaluate/model/models.py:81-89)."""
 
     def __init__(self, model, params, mesh: Optional[Mesh] = None,
-                 is_query: bool = False):
+                 is_query: bool = False, noise_level: float = 0.0,
+                 noise_seed: int = 0):
         self.model = model
         self.mesh = mesh
         method = model.query_emb if is_query else model.body_emb
 
-        def fn(p, ids, mask):
-            return model.apply({"params": p}, ids, mask, method=method)
+        if noise_level > 0.0:
+            from cocodr_tpu.utils.misc import add_embedding_noise
+
+            def fn(p, ids, mask):
+                emb = model.apply({"params": p}, ids, mask, method=method)
+                return add_embedding_noise(
+                    emb, jax.random.PRNGKey(noise_seed), noise_level
+                )
+        else:
+            def fn(p, ids, mask):
+                return model.apply({"params": p}, ids, mask, method=method)
 
         if mesh is not None:
             self._fn = jax.jit(

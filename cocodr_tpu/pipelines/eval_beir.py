@@ -49,12 +49,9 @@ class BeirEvalConfig:
     @classmethod
     def for_task(cls, task: str, **kw) -> "BeirEvalConfig":
         t = task.lower()
-        return cls(
-            task=t,
-            query_len=128 if t in LONG_QUERY_TASKS else 64,
-            doc_len=256 if t in LONG_DOC_TASKS else 128,
-            **kw,
-        )
+        kw.setdefault("query_len", 128 if t in LONG_QUERY_TASKS else 64)
+        kw.setdefault("doc_len", 256 if t in LONG_DOC_TASKS else 128)
+        return cls(task=t, **kw)
 
 
 def prepare_beir_task(

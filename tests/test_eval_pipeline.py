@@ -74,6 +74,8 @@ def test_eval_beir_end_to_end(tmp_path, tiny_tokenizer):
         top_k=30,
         mips_tile=16,
         q_chunk=4,
+        query_len=8,
+        doc_len=12,
     )
     # random tiny encoder still clusters identical token sequences:
     # doc embeddings for the same word are identical, so all 3 relevant
