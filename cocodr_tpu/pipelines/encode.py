@@ -123,26 +123,41 @@ def encode_cache(
     cfg: EncodeConfig = EncodeConfig(),
     indices: Optional[np.ndarray] = None,
     progress: Optional[Callable[[int, int], None]] = None,
+    prefetch_depth: int = 2,
 ) -> np.ndarray:
     """Encode all (or selected) records of a token cache -> [N, D] embeddings.
 
     The trailing partial batch is padded to the full batch size (static
-    shapes keep one compiled program) and trimmed on output.
+    shapes keep one compiled program) and trimmed on output. Host-side
+    record gathers run `prefetch_depth` batches ahead on a background thread
+    so the device never waits on the data plane.
     """
+    from cocodr_tpu.data.prefetch import prefetch
+
     n = len(cache) if indices is None else len(indices)
     idx = np.arange(n) if indices is None else np.asarray(indices)
     bs = cfg.batch_size
+
+    def batches():
+        for s in range(0, n, bs):
+            chunk = idx[s : s + bs]
+            pad = bs - len(chunk)
+            if pad:
+                chunk = np.concatenate([chunk, np.repeat(chunk[-1:], pad)])
+            tokens, mask = cache.batch_with_mask(chunk)
+            yield s, pad, tokens, mask
+
     out = None
-    for s in range(0, n, bs):
-        chunk = idx[s : s + bs]
-        pad = bs - len(chunk)
-        if pad:
-            chunk = np.concatenate([chunk, np.repeat(chunk[-1:], pad)])
-        tokens, mask = cache.batch_with_mask(chunk)
+    stream = (
+        prefetch(batches(), depth=prefetch_depth, device_put=False)
+        if prefetch_depth > 0
+        else batches()
+    )
+    for s, pad, tokens, mask in stream:
         emb = encoder(tokens, mask)
         emb_np = np.asarray(emb, cfg.emb_dtype)
         if pad:
-            emb_np = emb_np[: len(chunk) - pad]
+            emb_np = emb_np[: bs - pad]
         if out is None:
             out = np.empty((n, emb_np.shape[-1]), cfg.emb_dtype)
         out[s : s + len(emb_np)] = emb_np

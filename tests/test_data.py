@@ -171,3 +171,26 @@ def test_msmarco_preprocess(tmp_path, tiny_tokenizer):
     )
     assert pid2off == {10: 0, 20: 1}
     assert rows == [(0, 1, 1)]
+
+
+def test_prefetch_iterator():
+    from cocodr_tpu.data.prefetch import prefetch
+
+    items = list(prefetch(iter(range(10)), depth=3, device_put=False))
+    assert items == list(range(10))
+    # error propagation
+    def bad():
+        yield 1
+        raise RuntimeError("boom")
+
+    it = prefetch(bad(), depth=2, device_put=False)
+    assert next(it) == 1
+    import pytest as _pytest
+
+    with _pytest.raises(RuntimeError, match="boom"):
+        list(it)
+
+    # transform hook
+    doubled = list(prefetch(iter([1, 2]), depth=1, device_put=False,
+                            transform=lambda x: x * 2))
+    assert doubled == [2, 4]
