@@ -80,6 +80,40 @@ def bench_mips(n_docs=1_048_576, dim=768, n_queries=1024, k=100, iters=5):
     return n_queries / dt
 
 
+def bench_train_step(batch=64, seq=128, iters=10):
+    """Warmup-style triplet-NLL train step (3 encoder fwd + bwd + LAMB)."""
+    import optax
+
+    from cocodr_tpu.optim import lamb, warmup_linear
+    from cocodr_tpu.pipelines.train_step import (
+        TrainStepConfig,
+        build_train_step,
+    )
+    from cocodr_tpu.utils.train_state import TrainState
+
+    cfg = dataclasses.replace(BertConfig(), dtype=jnp.bfloat16)
+    model = build_dual_encoder("rdot_nll_condenser", cfg)
+    ids = jnp.ones((batch, seq), jnp.int32)
+    mask = jnp.ones((batch, seq), jnp.int32)
+    params = model.init(jax.random.PRNGKey(0), ids[:1], mask[:1])["params"]
+    tx = lamb(warmup_linear(2e-4, 1000, 100000))
+    state = jax.device_put(TrainState.create(params, tx))
+    step = build_train_step(model, tx, TrainStepConfig(loss_kind="nll"))
+    b = {
+        "q_ids": ids, "q_mask": mask, "pos_ids": ids, "pos_mask": mask,
+        "neg_ids": ids, "neg_mask": mask,
+    }
+    b = jax.device_put(b)
+    state, m = step(state, b)
+    _ = float(m["loss"])
+    t0 = time.time()
+    for _ in range(iters):
+        state, m = step(state, b)
+    _ = float(m["loss"])
+    dt = (time.time() - t0) / iters
+    return batch / dt
+
+
 def main():
     docs_per_sec, ms_per_batch = bench_encode()
     extras = {"encode_ms_per_batch_128x128": round(ms_per_batch, 2)}
@@ -87,6 +121,12 @@ def main():
         extras["mips_exact_qps_1M_docs_k100"] = round(bench_mips(), 1)
     except Exception as e:  # MIPS bench is best-effort (long compile)
         extras["mips_error"] = str(e)[:200]
+    try:
+        extras["train_triplets_per_sec_bert_base"] = round(
+            bench_train_step(), 1
+        )
+    except Exception as e:
+        extras["train_error"] = str(e)[:200]
     result = {
         "metric": "corpus_encode_throughput_bert_base_bf16_s128",
         "value": round(docs_per_sec, 1),

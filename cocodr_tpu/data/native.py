@@ -124,6 +124,14 @@ class NativeTokenCache:
         lens, tokens = self.batch([i])
         return int(lens[0]), tokens[0]
 
+    def lengths(self) -> np.ndarray:
+        out = np.empty((self.total_number,), np.int32)
+        chunk = 65536
+        for s in range(0, self.total_number, chunk):
+            idx = np.arange(s, min(s + chunk, self.total_number))
+            out[s : s + len(idx)], _ = self.batch(idx)
+        return out
+
     def close(self):
         if self._h:
             self._lib.rio_close(self._h)

@@ -102,6 +102,12 @@ class TokenCache:
         ).astype(np.int32)
         return tokens, mask
 
+    def lengths(self) -> np.ndarray:
+        """All record lengths [N] (one strided pass over the 4B prefixes)."""
+        return (
+            self._rows[:, :4].copy().view(">i4")[:, 0].astype(np.int32)
+        )
+
 
 def save_id_map(mapping: dict, path: str):
     with open(path, "wb") as f:

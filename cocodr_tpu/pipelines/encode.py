@@ -25,6 +25,8 @@ class EncodeConfig:
     batch_size: int = 512
     to_host: bool = True  # gather embeddings to host numpy
     emb_dtype: np.dtype = np.float32
+    # e.g. (32, 64, 128): encode short records at narrower widths
+    length_buckets: tuple = ()
 
 
 class Encoder:
@@ -138,6 +140,10 @@ def encode_cache(
     idx = np.arange(n) if indices is None else np.asarray(indices)
     bs = cfg.batch_size
 
+    if cfg.length_buckets:
+        return _encode_bucketed(encoder, cache, cfg, idx, progress,
+                                prefetch_depth)
+
     def batches():
         for s in range(0, n, bs):
             chunk = idx[s : s + bs]
@@ -163,4 +169,54 @@ def encode_cache(
         out[s : s + len(emb_np)] = emb_np
         if progress:
             progress(min(s + bs, n), n)
+    return out
+
+
+def _encode_bucketed(encoder, cache, cfg, idx, progress, prefetch_depth):
+    """Length-bucketed encode: records are grouped by token length into
+    cfg.length_buckets (ascending seq widths; the last must cover max_len)
+    and each bucket runs at its truncated width — recovering the padding
+    waste of encoding everything at max_len (MS MARCO passages average
+    ~half of the 128 budget). One compiled program per bucket width.
+    Output order matches `idx`."""
+    from cocodr_tpu.data.prefetch import prefetch
+
+    lengths = cache.lengths()[idx]
+    buckets = sorted(cfg.length_buckets)
+    assert buckets[-1] >= cache.max_len, (buckets, cache.max_len)
+    bs = cfg.batch_size
+    out = None
+
+    for width in buckets:
+        lo = 0 if width == buckets[0] else buckets[buckets.index(width) - 1]
+        sel = np.nonzero((lengths > lo) & (lengths <= width))[0]
+        if len(sel) == 0:
+            continue
+        sub_idx = idx[sel]
+
+        def batches():
+            for s in range(0, len(sub_idx), bs):
+                chunk = sub_idx[s : s + bs]
+                pad = bs - len(chunk)
+                if pad:
+                    chunk = np.concatenate(
+                        [chunk, np.repeat(chunk[-1:], pad)]
+                    )
+                tokens, mask = cache.batch_with_mask(chunk)
+                yield s, pad, tokens[:, :width], mask[:, :width]
+
+        stream = (
+            prefetch(batches(), depth=prefetch_depth, device_put=False)
+            if prefetch_depth > 0
+            else batches()
+        )
+        for s, pad, tokens, mask in stream:
+            emb_np = np.asarray(encoder(tokens, mask), cfg.emb_dtype)
+            if pad:
+                emb_np = emb_np[: bs - pad]
+            if out is None:
+                out = np.empty((len(idx), emb_np.shape[-1]), cfg.emb_dtype)
+            out[sel[s : s + len(emb_np)]] = emb_np
+        if progress:
+            progress(width, buckets[-1])
     return out

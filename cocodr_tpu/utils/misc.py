@@ -100,6 +100,33 @@ class AverageMeter:
         self.avg = self.sum / self.count if self.count > 0 else 0.0
 
 
+def read_group_results(result_dir: str, group_names=BEIR_GROUP_NAMES):
+    """Latest per-BEIR-task nDCG files for TB curves: scans
+    `ann_ndcg_group_{name}_{n}` JSONs (reference `get_latest_group_result`,
+    ANCE/utils/util.py:237-260, incl. its 9 named groups).
+    Returns {name: {'ndcg': ..., 'checkpoint': ...}} for groups found."""
+    import glob as _glob
+    import json as _json
+    import os as _os
+
+    out = {}
+    for name in group_names:
+        best_n, best = -1, None
+        for p in _glob.glob(
+            _os.path.join(result_dir, f"ann_ndcg_group_{name}_*")
+        ):
+            try:
+                n = int(p.rsplit("_", 1)[1])
+            except ValueError:
+                continue
+            if n > best_n:
+                best_n, best = n, p
+        if best:
+            with open(best) as f:
+                out[name] = _json.load(f)
+    return out
+
+
 def episode_lr_decay(base_lr: float, step: int, total_steps: int,
                      floor: float = 0.2) -> float:
     """LR decay across ANCE episodes: lr <- max(floor, 1 - step/total) * lr

@@ -194,3 +194,34 @@ def test_prefetch_iterator():
     doubled = list(prefetch(iter([1, 2]), depth=1, device_put=False,
                             transform=lambda x: x * 2))
     assert doubled == [2, 4]
+
+
+def test_encode_length_buckets(tmp_path):
+    """Bucketed encode must produce identical embeddings to flat encode."""
+    import jax
+    import jax.numpy as jnp
+
+    from cocodr_tpu.models.bert import BertConfig
+    from cocodr_tpu.models.dual_encoder import build_dual_encoder
+    from cocodr_tpu.pipelines.encode import EncodeConfig, Encoder, encode_cache
+
+    rng = np.random.RandomState(0)
+    p = str(tmp_path / "recs")
+    with RecordWriter(p, 16) as w:
+        for i in range(30):
+            n = rng.randint(2, 17)
+            w.write(rng.randint(5, 100, size=n).tolist())
+    cache = TokenCache(p)
+    np.testing.assert_array_equal(cache.lengths(), cache.batch(range(30))[0])
+
+    bert = BertConfig.tiny()
+    model = build_dual_encoder("rdot_nll_condenser", bert)
+    params = model.init(
+        jax.random.PRNGKey(0), jnp.ones((1, 8), jnp.int32), jnp.ones((1, 8), jnp.int32)
+    )["params"]
+    enc = Encoder(model, params, is_query=False)
+    flat = encode_cache(enc, cache, EncodeConfig(batch_size=8))
+    bucketed = encode_cache(
+        enc, cache, EncodeConfig(batch_size=8, length_buckets=(8, 16))
+    )
+    np.testing.assert_allclose(bucketed, flat, atol=2e-5, rtol=1e-4)
