@@ -80,8 +80,9 @@ def bench_mips(n_docs=1_048_576, dim=768, n_queries=1024, k=100, iters=5):
     return n_queries / dt
 
 
-def bench_train_step(batch=64, seq=128, iters=10):
-    """Warmup-style triplet-NLL train step (3 encoder fwd + bwd + LAMB)."""
+def bench_train_step(batch=32, seq=128, iters=10):
+    """Warmup-style triplet-NLL train step (3 encoder fwd + bwd + LAMB).
+    remat keeps the 3-tower backward inside HBM."""
     import optax
 
     from cocodr_tpu.optim import lamb, warmup_linear
@@ -91,7 +92,7 @@ def bench_train_step(batch=64, seq=128, iters=10):
     )
     from cocodr_tpu.utils.train_state import TrainState
 
-    cfg = dataclasses.replace(BertConfig(), dtype=jnp.bfloat16)
+    cfg = dataclasses.replace(BertConfig(), dtype=jnp.bfloat16, remat=True)
     model = build_dual_encoder("rdot_nll_condenser", cfg)
     ids = jnp.ones((batch, seq), jnp.int32)
     mask = jnp.ones((batch, seq), jnp.int32)

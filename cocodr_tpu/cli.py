@@ -341,6 +341,110 @@ def cmd_coco(args):
     )
 
 
+def _ance_setup(args):
+    """Shared state for the async ance-mine / ance-train jobs."""
+    from cocodr_tpu.core.configs import AnceStageConfig, PRESETS
+    from cocodr_tpu.data.native import open_token_cache
+    from cocodr_tpu.data.records import load_qrels
+    from cocodr_tpu.utils.train_state import TrainState
+
+    cfg = PRESETS[args.preset]() if args.preset else AnceStageConfig.base()
+    model, params, _ = _load_model_params(args.checkpoint, cfg.model_type)
+    tx = cfg.optimizer.build()
+    from cocodr_tpu.losses import dro_greedy_init
+
+    extra = dro_greedy_init(cfg.dro) if cfg.loss_kind != "nll" else None
+    state = TrainState.create(params, tx, extra=extra)
+    pc = open_token_cache(os.path.join(args.data_dir, "passages"))
+    qc = open_token_cache(os.path.join(args.data_dir, "train-query"))
+    dev_qc = open_token_cache(os.path.join(args.data_dir, "dev-query"))
+    train_qrels = load_qrels(os.path.join(args.data_dir, "train-qrel.tsv"))
+    positives = {q: max(d, key=d.get) for q, d in train_qrels.items()}
+    dev_qrels = load_qrels(os.path.join(args.data_dir, "dev-qrel.tsv"))
+    return cfg, model, tx, state, pc, qc, dev_qc, positives, dev_qrels
+
+
+def cmd_ance_mine(args):
+    """Async producer job (the reference's run_ann_data_gen.py)."""
+    _setup_jax(args)
+    from cocodr_tpu.pipelines.ance import (
+        MineConfig,
+        checkpoint_params_loader,
+        mine_loop,
+    )
+
+    cfg, model, tx, state, pc, qc, dev_qc, positives, dev_qrels = _ance_setup(
+        args
+    )
+    mine_loop(
+        model,
+        checkpoint_params_loader(args.ckpt_dir, state),
+        os.path.join(args.ckpt_dir, "ann_data"),
+        poll_secs=args.poll_secs,
+        max_rounds=args.rounds if args.rounds > 0 else None,
+        passage_cache=pc,
+        train_query_cache=qc,
+        train_positives=positives,
+        dev_query_cache=dev_qc,
+        dev_qrels=dev_qrels,
+        cfg=MineConfig(
+            topk_training=cfg.topk_training,
+            negative_sample=cfg.negative_sample,
+            cluster_query=cfg.loss_kind != "nll",
+            cluster_centroids=cfg.dro.n_groups,
+            batch_size=cfg.eval_batch,
+        ),
+    )
+
+
+def cmd_ance_train(args):
+    """Async consumer job (the reference's run_ann.py)."""
+    _setup_jax(args)
+    from cocodr_tpu.data.streams import TripletBatcher
+    from cocodr_tpu.pipelines.ance import train_loop
+    from cocodr_tpu.pipelines.train_step import TrainStepConfig, build_train_step
+
+    cfg, model, tx, state, pc, qc, dev_qc, positives, dev_qrels = _ance_setup(
+        args
+    )
+    step = build_train_step(
+        model,
+        tx,
+        TrainStepConfig(
+            loss_kind=cfg.loss_kind,
+            dro=cfg.dro,
+            idro_last_k_layers=cfg.idro_last_k_layers,
+            max_grad_norm=cfg.optimizer.max_grad_norm,
+        ),
+    )
+    train_loop(
+        state,
+        step,
+        TripletBatcher(qc, pc),
+        os.path.join(args.ckpt_dir, "ann_data"),
+        args.ckpt_dir,
+        batch_size=args.batch_size or cfg.per_device_batch,
+        poll_secs=args.poll_secs,
+        max_ann_files=args.rounds if args.rounds > 0 else None,
+        steps_per_file=args.steps_per_round,
+        metrics_cb=lambda s, m: (
+            print(json.dumps({"step": s, "loss": float(m["loss"])}))
+            if s % 100 == 0
+            else None
+        ),
+    )
+
+
+def cmd_export_hf(args):
+    """Export a framework checkpoint back to HF torch format."""
+    from cocodr_tpu.models.hf import config_from_hf
+    from cocodr_tpu.utils.train_state import export_hf_bert
+
+    model, params, cfg = _load_model_params(args.checkpoint, args.model_type)
+    export_hf_bert(params["encoder"], cfg, args.out)
+    print(f"exported HF checkpoint to {args.out}")
+
+
 def cmd_convert_hf(args):
     """HF torch checkpoint dir -> report + (optionally) flax export check."""
     model, params, cfg = _load_model_params(args.hf_dir, args.model_type)
@@ -403,6 +507,24 @@ def main(argv=None):
     sp.add_argument("--steps-per-round", type=int, default=5000)
     sp.add_argument("--batch-size", type=int, default=0)
     sp.set_defaults(fn=cmd_ance)
+
+    for name, fn in (("ance-mine", cmd_ance_mine), ("ance-train", cmd_ance_train)):
+        sp = sub.add_parser(name)
+        _add_common(sp)
+        sp.add_argument("--data-dir", required=True)
+        sp.add_argument("--checkpoint", required=True)
+        sp.add_argument("--ckpt-dir", required=True)
+        sp.add_argument("--rounds", type=int, default=0)
+        sp.add_argument("--poll-secs", type=float, default=60.0)
+        sp.add_argument("--batch-size", type=int, default=0)
+        sp.add_argument("--steps-per-round", type=int, default=5000)
+        sp.set_defaults(fn=fn)
+
+    sp = sub.add_parser("export-hf")
+    sp.add_argument("--checkpoint", required=True)
+    sp.add_argument("--out", required=True)
+    sp.add_argument("--model-type", default="rdot_nll_condenser")
+    sp.set_defaults(fn=cmd_export_hf)
 
     sp = sub.add_parser("preprocess-coco")
     sp.add_argument("--data-dirs", nargs="+", required=True)

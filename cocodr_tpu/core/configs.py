@@ -10,7 +10,6 @@ from __future__ import annotations
 
 import dataclasses
 import json
-from typing import Optional
 
 from cocodr_tpu.losses.dro import DroConfig
 from cocodr_tpu.models.bert import BertConfig

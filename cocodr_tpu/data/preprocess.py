@@ -24,7 +24,7 @@ import gzip
 import json
 import os
 import re
-from typing import Callable, Dict, Iterable, Optional, Tuple
+from typing import Dict, Optional
 
 from cocodr_tpu.data.records import (
     RecordWriter,

@@ -15,9 +15,8 @@ C++ gather in native/recordio.cpp is the threaded fast path).
 from __future__ import annotations
 
 import json
-import os
 import pickle
-from typing import Iterable, Optional, Sequence, Tuple
+from typing import Iterable, Sequence, Tuple
 
 import numpy as np
 

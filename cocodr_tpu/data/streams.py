@@ -13,7 +13,7 @@ training-side parser was never released (see SURVEY.md §2.4).
 from __future__ import annotations
 
 import dataclasses
-from typing import Iterator, List, Optional, Sequence
+from typing import Iterator, List, Sequence
 
 import numpy as np
 

@@ -8,7 +8,7 @@ corpus, or reranking against a per-query candidate list (top1000 file).
 """
 from __future__ import annotations
 
-from typing import Dict, Mapping, Optional, Sequence
+from typing import Dict, Mapping, Sequence
 
 import numpy as np
 

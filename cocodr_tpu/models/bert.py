@@ -17,7 +17,7 @@ COCO/modeling.py:34-131). Design points:
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, Callable, Optional
+from typing import Any, Callable
 
 import flax.linen as nn
 import jax

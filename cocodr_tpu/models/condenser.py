@@ -15,7 +15,6 @@ bare encoder; the converters here honor that split.
 """
 from __future__ import annotations
 
-import dataclasses
 from typing import Dict, Mapping, Optional
 
 import flax.linen as nn

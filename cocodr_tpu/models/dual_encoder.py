@@ -20,7 +20,6 @@ evaluate/model/models.py:21-466):
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional
 
 import flax.linen as nn
 import jax.numpy as jnp

@@ -16,7 +16,7 @@ can also be tiled (vmap/scan outer loop) for very large Q.
 from __future__ import annotations
 
 import functools
-from typing import Optional, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp

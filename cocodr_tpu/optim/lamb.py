@@ -14,7 +14,7 @@ warmup/commands/run_bm25_warmup.sh).
 """
 from __future__ import annotations
 
-from typing import NamedTuple, Optional, Union, Callable
+from typing import Callable, NamedTuple, Union
 
 import jax
 import jax.numpy as jnp

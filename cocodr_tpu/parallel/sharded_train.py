@@ -8,8 +8,6 @@ so tensor-parallel shardings can be layered on later without API changes.
 """
 from __future__ import annotations
 
-from typing import Callable
-
 import jax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 

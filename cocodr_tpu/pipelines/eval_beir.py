@@ -15,8 +15,6 @@ import dataclasses
 import os
 from typing import Dict, Optional
 
-import numpy as np
-
 from cocodr_tpu.data.native import open_token_cache
 from cocodr_tpu.data.preprocess import (
     load_beir_qrels,

@@ -25,7 +25,7 @@ numerical effect — our per-leaf LAMB is exactly equivalent.
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, Callable, Optional
+from typing import Callable, Optional
 
 import jax
 import jax.numpy as jnp

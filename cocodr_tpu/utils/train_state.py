@@ -8,7 +8,6 @@ latest-valid-checkpoint discovery semantics, and HF export for interop.
 """
 from __future__ import annotations
 
-import dataclasses
 import json
 import os
 import re
