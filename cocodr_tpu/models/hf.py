@@ -164,29 +164,42 @@ def bert_params_from_torch(
 
 
 def mlm_transform_params_from_torch(state_dict: Mapping) -> Dict:
-    """HF `cls.predictions.transform` -> flax BertMLMTransform params.
+    """HF MLM head transform -> flax BertMLMTransform params.
 
-    Returns (transform_params, decoder_bias).
+    Handles both namings: BERT `cls.predictions.transform.{dense,LayerNorm}`
+    + `cls.predictions.bias`, and RoBERTa `lm_head.{dense,layer_norm}` +
+    `lm_head.bias`. Returns (transform_params, decoder_bias).
     """
     sd = {k: _np(v) for k, v in state_dict.items()}
 
-    def find(suffix):
-        for k, v in sd.items():
-            if k.endswith(suffix):
-                return v
-        raise KeyError(suffix)
+    def find(*suffixes):
+        for suffix in suffixes:
+            for k, v in sd.items():
+                if k.endswith(suffix):
+                    return v
+        raise KeyError(suffixes)
 
     transform = {
         "dense": {
-            "kernel": find("predictions.transform.dense.weight").T,
-            "bias": find("predictions.transform.dense.bias"),
+            "kernel": find(
+                "predictions.transform.dense.weight", "lm_head.dense.weight"
+            ).T,
+            "bias": find(
+                "predictions.transform.dense.bias", "lm_head.dense.bias"
+            ),
         },
         "layer_norm": {
-            "scale": find("predictions.transform.LayerNorm.weight"),
-            "bias": find("predictions.transform.LayerNorm.bias"),
+            "scale": find(
+                "predictions.transform.LayerNorm.weight",
+                "lm_head.layer_norm.weight",
+            ),
+            "bias": find(
+                "predictions.transform.LayerNorm.bias",
+                "lm_head.layer_norm.bias",
+            ),
         },
     }
-    decoder_bias = find("predictions.bias")
+    decoder_bias = find("predictions.bias", "lm_head.bias")
     return transform, decoder_bias
 
 
