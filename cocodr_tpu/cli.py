@@ -135,6 +135,18 @@ def cmd_preprocess_msmarco(args):
     print(f"wrote records to {args.out}")
 
 
+def cmd_preprocess_beir(args):
+    """Standalone BEIR tokenization (stage 1 of the reference's 3-stage
+    eval pipeline); eval-beir also does this on demand."""
+    from cocodr_tpu.pipelines.eval_beir import BeirEvalConfig, prepare_beir_task
+
+    tokenizer = _load_tokenizer(args.tokenizer)
+    cfg = BeirEvalConfig.for_task(args.task or os.path.basename(
+        os.path.normpath(args.data_dir)))
+    prepare_beir_task(args.data_dir, args.out, tokenizer, cfg)
+    print(f"tokenized {args.data_dir} -> {args.out}")
+
+
 def cmd_warmup(args):
     _setup_jax(args)
     from cocodr_tpu.core.configs import PRESETS, WarmupStageConfig
@@ -509,6 +521,13 @@ def main(argv=None):
     sp.add_argument("--max-seq-length", type=int, default=128)
     sp.add_argument("--max-query-length", type=int, default=64)
     sp.set_defaults(fn=cmd_preprocess_msmarco)
+
+    sp = sub.add_parser("preprocess-beir")
+    sp.add_argument("--data-dir", required=True)
+    sp.add_argument("--out", required=True)
+    sp.add_argument("--tokenizer", required=True)
+    sp.add_argument("--task", default=None)
+    sp.set_defaults(fn=cmd_preprocess_beir)
 
     sp = sub.add_parser("warmup")
     _add_common(sp)

@@ -159,7 +159,8 @@ def mips_topk_hierarchical(
         (fine_ids_all < n_fine_real)[:, None], bm_fine_t, -jnp.inf
     )
 
-    # phase 2a: coarse maxima + top-k coarse blocks
+    # phase 2a: coarse maxima + top-k coarse blocks (the [n_coarse, Q]
+    # transpose is small; the big [n_fine, Q] array is never transposed)
     bm_coarse = jnp.max(
         bm_fine_t.reshape(n_coarse, coarse, -1), axis=1
     ).T  # [Q, n_coarse]
@@ -167,13 +168,13 @@ def mips_topk_hierarchical(
     kc = min(k + extra, n_coarse)
     _, coarse_ids = jax.lax.top_k(bm_coarse, kc)  # [Q, kc]
 
-    # phase 2b: fine maxima within surviving coarse blocks
-    bm_fine = bm_fine_t.T  # [Q, n_fine]
+    # phase 2b: fine maxima within surviving coarse blocks, gathered
+    # directly from the transposed maxima: out[j, q] = bm_fine_t[idx[j,q], q]
     fine_cand = (
         coarse_ids[:, :, None] * coarse
         + jnp.arange(coarse, dtype=jnp.int32)[None, None, :]
     ).reshape(Q, kc * coarse)
-    fine_max = jnp.take_along_axis(bm_fine, fine_cand, axis=1)
+    fine_max = jnp.take_along_axis(bm_fine_t, fine_cand.T, axis=0).T
     kf = min(k + extra, n_fine_real)
     _, pos = jax.lax.top_k(fine_max, kf)
     fine_ids = jnp.take_along_axis(fine_cand, pos, axis=1)  # [Q, kf]

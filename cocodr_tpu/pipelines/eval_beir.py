@@ -15,6 +15,8 @@ import dataclasses
 import os
 from typing import Dict, Optional
 
+import numpy as np
+
 from cocodr_tpu.data.native import open_token_cache
 from cocodr_tpu.data.preprocess import (
     load_beir_qrels,
@@ -108,7 +110,21 @@ def evaluate_beir_task(
     doc_encoder = Encoder(model, params, mesh=mesh, is_query=False)
     query_encoder = Encoder(model, params, mesh=mesh, is_query=True)
     ecfg = EncodeConfig(batch_size=cfg.batch_size)
-    corpus_emb = encode_cache(doc_encoder, corpus_cache, ecfg)
+
+    # multi-chunk long-doc models index one vector per chunk; retrieval
+    # dedupes to the best-scoring chunk per document (the reference's
+    # seen_pid handling, evaluate_beir.py:132-134)
+    chunk_len = getattr(model.cfg, "chunk_len", 0)
+    multivector = bool(chunk_len) and corpus_cache.max_len > chunk_len
+    if multivector:
+        from cocodr_tpu.pipelines.encode import encode_cache_multivector
+
+        corpus_emb, row2doc = encode_cache_multivector(
+            doc_encoder, corpus_cache, ecfg, chunk_len=chunk_len
+        )
+    else:
+        corpus_emb = encode_cache(doc_encoder, corpus_cache, ecfg)
+        row2doc = None
     query_emb = encode_cache(query_encoder, query_cache, ecfg)
 
     k = min(cfg.top_k, corpus_emb.shape[0])
@@ -116,6 +132,8 @@ def evaluate_beir_task(
         query_emb, corpus_emb, k, q_chunk=cfg.q_chunk, tile=cfg.mips_tile,
         exact_fp32=cfg.exact_fp32,
     )
+    if row2doc is not None:
+        top_ids = np.where(top_ids >= 0, row2doc[top_ids], -1)
 
     off2docid = {v: k_ for k_, v in docid2off.items()}
     off2qid = {v: k_ for k_, v in qid2off.items()}
@@ -125,6 +143,7 @@ def evaluate_beir_task(
         top_ids,
         id_map=off2docid,
         skip_self=cfg.task in SELF_SKIP_TASKS,
+        dedupe=multivector,
     )
     return evaluate_run(
         run,

@@ -96,3 +96,37 @@ def test_eval_beir_idempotent_prepare(tmp_path, tiny_tokenizer):
     a = prepare_beir_task(data_dir, out, tiny_tokenizer, cfg)
     b = prepare_beir_task(data_dir, out, tiny_tokenizer, cfg)  # from cache
     assert a[2] == b[2] and a[3] == b[3]
+
+
+def test_eval_beir_multichunk(tmp_path, tiny_tokenizer):
+    """Long-doc multi-chunk model: one vector per chunk, deduped retrieval."""
+    data_dir = _write_beir_task(tmp_path, n_docs=20)
+    bert = BertConfig.tiny()
+    from cocodr_tpu.models.dual_encoder import build_dual_encoder as bde
+
+    model = bde("rdot_nll_multi_chunk", bert, base_len=8)
+    import jax
+
+    params = model.init(
+        jax.random.PRNGKey(0),
+        jnp.ones((1, 8), jnp.int32),
+        jnp.ones((1, 8), jnp.int32),
+    )["params"]
+    metrics = eval_beir(
+        model,
+        params,
+        data_dir,
+        str(tmp_path / "work_mc"),
+        tiny_tokenizer,
+        task="synthetic-mc",
+        batch_size=8,
+        top_k=20,
+        mips_tile=16,
+        q_chunk=4,
+        query_len=8,
+        doc_len=16,  # 2 chunks of base_len 8
+        exact_fp32=True,
+    )
+    assert metrics["num_queries"] == 10
+    # dedupe keeps ranking lists valid (no doc repeated)
+    assert 0.0 <= metrics["ndcg_cut_10"] <= 1.0
