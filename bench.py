@@ -40,7 +40,7 @@ from cocodr_tpu.models.dual_encoder import build_dual_encoder  # noqa: E402
 GPU_BASELINE_DOCS_PER_SEC = 800.0  # single-V100 fp16 proxy, see docstring
 
 
-def bench_encode(batch=128, seq=128, iters=20):
+def bench_encode(batch=256, seq=128, iters=15):
     cfg = dataclasses.replace(BertConfig(), dtype=jnp.bfloat16)
     model = build_dual_encoder("rdot_nll_condenser", cfg)
     ids = jnp.ones((batch, seq), jnp.int32)
@@ -117,7 +117,7 @@ def bench_train_step(batch=32, seq=128, iters=10):
 
 def main():
     docs_per_sec, ms_per_batch = bench_encode()
-    extras = {"encode_ms_per_batch_128x128": round(ms_per_batch, 2)}
+    extras = {"encode_ms_per_batch_256x128": round(ms_per_batch, 2)}
     try:
         extras["mips_exact_qps_1M_docs_k100"] = round(bench_mips(), 1)
     except Exception as e:  # MIPS bench is best-effort (long compile)
