@@ -43,10 +43,10 @@ def _load_model_params(checkpoint: str, model_type: str):
     """checkpoint: HF dir (pytorch_model.bin/safetensors + config.json)."""
     import glob as _glob
 
-    from cocodr_tpu.models.dual_encoder import build_dual_encoder
+    from cocodr_tpu.models.dual_encoder import MODEL_REGISTRY, build_dual_encoder
     from cocodr_tpu.models.hf import (
-        bert_params_from_torch,
         config_from_hf,
+        dual_encoder_params_from_torch,
         load_torch_state_dict,
     )
 
@@ -62,8 +62,21 @@ def _load_model_params(checkpoint: str, model_type: str):
     if weights is None:
         raise FileNotFoundError(f"no weights in {checkpoint}")
     model = build_dual_encoder(model_type, cfg)
-    bert_params = bert_params_from_torch(weights, cfg)
-    params = {"encoder": bert_params}
+    use_head = model.cfg.use_head and any(
+        k.startswith("embeddingHead") for k in weights
+    )
+    params = dual_encoder_params_from_torch(weights, cfg, use_head=use_head)
+    if model.cfg.use_head and not use_head:
+        # head weights absent (bare backbone checkpoint): fresh init
+        import jax
+        import jax.numpy as jnp
+
+        init = model.init(
+            jax.random.PRNGKey(0),
+            jnp.ones((1, 8), jnp.int32),
+            jnp.ones((1, 8), jnp.int32),
+        )["params"]
+        params["head"] = init["head"]
     return model, params, cfg
 
 

@@ -180,19 +180,45 @@ def mine(
 
     doc_enc = Encoder(model, params, mesh=mesh, is_query=False)
     q_enc = Encoder(model, params, mesh=mesh, is_query=True)
+    # multi-chunk long-doc corpora index one vector per chunk; search rows
+    # map back to doc ids before negative generation (the reference's 3-D
+    # embedding handling, data_gen.py:201-204)
+    chunk_len = getattr(getattr(model, "cfg", None), "chunk_len", 0)
+    multivector = bool(chunk_len) and passage_cache.max_len > chunk_len
+    row2doc = None
     if corpus_emb is None:
         emb_file = None
         if cfg.emb_cache_dir and checkpoint_name:
             os.makedirs(cfg.emb_cache_dir, exist_ok=True)
             safe = checkpoint_name.replace(os.sep, "_")
-            emb_file = os.path.join(cfg.emb_cache_dir, f"corpus_{safe}.npy")
+            suffix = "_mv" if multivector else ""
+            emb_file = os.path.join(
+                cfg.emb_cache_dir, f"corpus_{safe}{suffix}.npy"
+            )
         if emb_file and os.path.exists(emb_file):
             corpus_emb = np.load(emb_file)
+            if multivector:
+                row2doc = np.load(emb_file.replace(".npy", ".rows.npy"))
+        elif multivector:
+            from cocodr_tpu.pipelines.encode import encode_cache_multivector
+
+            corpus_emb, row2doc = encode_cache_multivector(
+                doc_enc, passage_cache, ecfg, chunk_len=chunk_len
+            )
+            if emb_file:
+                np.save(emb_file + ".tmp.npy", corpus_emb)
+                os.replace(emb_file + ".tmp.npy", emb_file)
+                np.save(emb_file.replace(".npy", ".rows.npy"), row2doc)
         else:
             corpus_emb = encode_cache(doc_enc, passage_cache, ecfg)
             if emb_file:
                 np.save(emb_file + ".tmp.npy", corpus_emb)
                 os.replace(emb_file + ".tmp.npy", emb_file)
+
+    def rows_to_docs(top):
+        if row2doc is None:
+            return top
+        return np.where(top >= 0, row2doc[top], -1)
 
     # dev eval at this checkpoint (data_gen.py:306-319)
     dev_emb = encode_cache(q_enc, dev_query_cache, ecfg)
@@ -201,7 +227,10 @@ def mine(
         dev_emb, corpus_emb, k, q_chunk=cfg.q_chunk, tile=cfg.mips_tile,
         exact_fp32=cfg.exact_fp32,
     )
-    dev_run = run_from_topk(list(range(len(dev_emb))), dev_top)
+    dev_top = rows_to_docs(dev_top)
+    dev_run = run_from_topk(
+        list(range(len(dev_emb))), dev_top, dedupe=row2doc is not None
+    )
     dev_metrics = evaluate_run(dev_run, dev_qrels, recall_ks=(k,))
 
     # train-query encode + mine; without clustering, rotate over
@@ -224,7 +253,7 @@ def mine(
         exact_fp32=cfg.exact_fp32,
     )
     negatives, mrr_scores = generate_negatives(
-        train_top, query_ids, train_positives, cfg, rng
+        rows_to_docs(train_top), query_ids, train_positives, cfg, rng
     )
 
     clusters = weights = None

@@ -172,3 +172,40 @@ def test_warmup_resume_fast_forward(tmp_path):
     )
     s2 = run_warmup(state, step, str(triples), tok, cfg2, ck, resume=True)
     assert int(s2.step) == 5
+
+
+def test_mine_multichunk_corpus(tmp_path):
+    """Mining over a multi-chunk long-doc corpus: rows map back to docs,
+    negatives are doc ids, dev eval dedupes chunks."""
+    from cocodr_tpu.pipelines.ance import MineConfig, mine
+
+    bert = BertConfig.tiny()
+    model = build_dual_encoder("rdot_nll_multi_chunk", bert, base_len=8)
+    qp, pp = str(tmp_path / "q"), str(tmp_path / "p")
+    with RecordWriter(qp, 8) as w:
+        for i in range(4):
+            w.write([2, 10 + i, 3])
+    with RecordWriter(pp, 16) as w:  # 2-chunk docs
+        for i in range(8):
+            w.write([2, 10 + (i % 4), 5, 3, 2, 20 + i, 6, 3])
+    positives = {i: i for i in range(4)}
+    dev_qrels = {i: {i: 1} for i in range(4)}
+    params = model.init(
+        jax.random.PRNGKey(0), jnp.ones((1, 8), jnp.int32), jnp.ones((1, 8), jnp.int32)
+    )["params"]
+    out = str(tmp_path / "ann")
+    metrics = mine(
+        model, params, TokenCache(pp), TokenCache(qp), positives,
+        TokenCache(qp), dev_qrels, out, 0,
+        MineConfig(topk_training=8, negative_sample=3, n_splits=1,
+                   dev_topk=8, batch_size=4, q_chunk=4, mips_tile=8,
+                   exact_fp32=True),
+    )
+    lines = open(os.path.join(out, "ann_training_data_0")).readlines()
+    from cocodr_tpu.data.streams import parse_ann_line
+
+    for line in lines:
+        qid, pos, negs, w, g = parse_ann_line(line)
+        assert all(0 <= n < 8 for n in negs)  # doc ids, not chunk rows
+        assert pos not in negs
+    assert 0.0 <= metrics["ndcg_cut_10"] <= 1.0
