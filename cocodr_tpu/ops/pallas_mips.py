@@ -134,7 +134,8 @@ def mips_topk_hierarchical(
     candidate-gather 4x vs block=32 (the gather dominated the flat version:
     100ms of a 136ms search); the coarse level cuts the big sort 2x.
 
-    Measured (v5e, 1M x 768, Q=1024, k=100): ~30 ms/search -> ~34k QPS.
+    Measured (v5e, 1M x 768, Q=1024, k=100): 41 ms/search -> ~25k QPS
+    (sweep 12ms at 142 TFLOP/s; selection + block-gather rescore the rest).
     """
     Q, D = queries.shape
     N = corpus.shape[0]
