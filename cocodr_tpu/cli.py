@@ -94,6 +94,11 @@ def cmd_eval_beir(args):
 
     model, params, _ = _load_model_params(args.checkpoint, args.model_type)
     tokenizer = _load_tokenizer(args.tokenizer or args.checkpoint)
+    kw = {}
+    if args.query_len:
+        kw["query_len"] = args.query_len
+    if args.doc_len:
+        kw["doc_len"] = args.doc_len
     metrics = eval_beir(
         model,
         params,
@@ -103,6 +108,8 @@ def cmd_eval_beir(args):
         task=args.task,
         batch_size=args.batch_size,
         top_k=args.top_k,
+        exact_fp32=args.exact_fp32,
+        **kw,
     )
     print(json.dumps(metrics, indent=2))
 
@@ -354,10 +361,11 @@ def cmd_coco(args):
             params[f"c_head_{i}"] = init[f"c_head_{i}"]
 
     tokenizer = _load_tokenizer(args.tokenizer or args.checkpoint)
+    max_seq = args.max_seq_length or cfg.max_seq_length
     collator = CoCondenserCollator(
         tokenizer,
         mlm_probability=cfg.mlm_probability,
-        max_seq_length=cfg.max_seq_length,
+        max_seq_length=max_seq,
     )
     span_files = sorted(_glob.glob(os.path.join(args.train_dir, "*.jsonl")))
     batches = span_batches(
@@ -372,7 +380,7 @@ def cmd_coco(args):
         model,
         tx,
         CocoConfig(
-            max_seq_length=cfg.max_seq_length,
+            max_seq_length=max_seq,
             cache_chunk_size=args.cache_chunk_size,
         ),
     )
@@ -519,6 +527,9 @@ def main(argv=None):
     sp.add_argument("--model-type", default="rdot_nll_condenser")
     sp.add_argument("--batch-size", type=int, default=512)
     sp.add_argument("--top-k", type=int, default=1000)
+    sp.add_argument("--query-len", type=int, default=0)
+    sp.add_argument("--doc-len", type=int, default=0)
+    sp.add_argument("--exact-fp32", action="store_true")
     sp.set_defaults(fn=cmd_eval_beir)
 
     sp = sub.add_parser("preprocess-msmarco")
@@ -597,6 +608,7 @@ def main(argv=None):
     sp.add_argument("--ckpt-dir", required=True)
     sp.add_argument("--batch-docs", type=int, default=0)
     sp.add_argument("--cache-chunk-size", type=int, default=0)
+    sp.add_argument("--max-seq-length", type=int, default=0)
     sp.add_argument("--max-steps", type=int, default=1000000)
     sp.add_argument("--save-steps", type=int, default=10000)
     sp.add_argument("--seed", type=int, default=0)

@@ -1,0 +1,119 @@
+"""CLI integration: checkpoint loading, eval-beir and coco subcommands
+driven end-to-end with a tiny on-disk HF checkpoint."""
+import json
+import os
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+transformers = pytest.importorskip("transformers")
+
+from cocodr_tpu.cli import _load_model_params, main
+
+
+@pytest.fixture(scope="module")
+def hf_checkpoint(tmp_path_factory):
+    """Tiny HF BertForMaskedLM checkpoint dir + matching tokenizer files."""
+    d = tmp_path_factory.mktemp("hf_ckpt")
+    torch.manual_seed(0)
+    cfg = transformers.BertConfig(
+        vocab_size=40,
+        hidden_size=32,
+        num_hidden_layers=2,
+        num_attention_heads=4,
+        intermediate_size=64,
+        max_position_embeddings=64,
+    )
+    m = transformers.BertForMaskedLM(cfg)
+    m.save_pretrained(str(d))
+    vocab = (
+        "[PAD] [UNK] [CLS] [SEP] [MASK] alpha beta gamma delta epsilon "
+        "zeta eta theta iota kappa filler study report".split()
+    )
+    (d / "vocab.txt").write_text("\n".join(vocab))
+    tok = transformers.BertTokenizerFast(vocab_file=str(d / "vocab.txt"))
+    tok.save_pretrained(str(d))
+    return str(d)
+
+
+def _write_beir(tmp_path):
+    beir = tmp_path / "beir"
+    (beir / "qrels").mkdir(parents=True)
+    words = ["alpha", "beta", "gamma", "delta"]
+    with open(beir / "corpus.jsonl", "w") as f:
+        for i in range(8):
+            w = words[i % 4]
+            f.write(json.dumps({"_id": f"d{i}", "title": "",
+                                "text": f"{w} {w} filler"}) + "\n")
+    with open(beir / "queries.jsonl", "w") as f:
+        for j, w in enumerate(words):
+            f.write(json.dumps({"_id": f"q{j}", "text": w}) + "\n")
+    with open(beir / "qrels" / "test.tsv", "w") as f:
+        f.write("query-id\tcorpus-id\tscore\n")
+        for j in range(4):
+            for i in range(8):
+                if i % 4 == j:
+                    f.write(f"q{j}\td{i}\t1\n")
+    return str(beir)
+
+
+def test_load_model_params_backbone_and_head(hf_checkpoint):
+    model, params, cfg = _load_model_params(hf_checkpoint, "rdot_nll_condenser")
+    assert "encoder" in params and "head" not in params
+    model2, params2, _ = _load_model_params(hf_checkpoint, "rdot_nll")
+    assert "head" in params2  # fresh init when checkpoint has no head
+    import jax
+    import jax.numpy as jnp
+
+    out = model2.apply(
+        {"params": params2},
+        jnp.ones((2, 8), jnp.int32),
+        jnp.ones((2, 8), jnp.int32),
+        method=model2.query_emb,
+    )
+    assert np.isfinite(np.asarray(out, np.float32)).all()
+
+
+def test_cli_eval_beir(hf_checkpoint, tmp_path, capsys):
+    data_dir = _write_beir(tmp_path)
+    main([
+        "eval-beir",
+        "--data-dir", data_dir,
+        "--work-dir", str(tmp_path / "work"),
+        "--checkpoint", hf_checkpoint,
+        "--task", "smoke",
+        "--batch-size", "4",
+        "--top-k", "8",
+        "--query-len", "8",
+        "--doc-len", "8",
+        "--compile-cache", "",
+    ])
+    out = capsys.readouterr().out
+    metrics = json.loads(out[out.index("{"):])
+    assert metrics["num_queries"] == 4
+
+
+def test_cli_coco(hf_checkpoint, tmp_path, capsys):
+    # spans from the same corpus
+    data_dir = _write_beir(tmp_path)
+    main([
+        "preprocess-coco",
+        "--data-dirs", data_dir,
+        "--out", str(tmp_path / "spans"),
+        "--tokenizer", hf_checkpoint,
+    ])
+    main([
+        "coco",
+        "--train-dir", str(tmp_path / "spans"),
+        "--checkpoint", hf_checkpoint,
+        "--ckpt-dir", str(tmp_path / "coco_ck"),
+        "--batch-docs", "4",
+        "--max-steps", "2",
+        "--max-seq-length", "16",
+        "--save-steps", "2",
+        "--compile-cache", "",
+    ])
+    from cocodr_tpu.utils.train_state import latest_checkpoint
+
+    assert latest_checkpoint(str(tmp_path / "coco_ck")) is not None
