@@ -9,7 +9,10 @@ Replaces the reference's bash pipelines (reference commands/*.sh,
   python -m cocodr_tpu.cli warmup --triples ... --ckpt-dir ... [--preset warmup-base]
   python -m cocodr_tpu.cli ance --data-dir ... --ckpt-dir ... [--preset ance-base]
   python -m cocodr_tpu.cli coco --train-dir ... --ckpt-dir ... [--preset coco-base]
-  python -m cocodr_tpu.cli convert-hf --hf-dir ... --out ...
+  python -m cocodr_tpu.cli ance-mine / ance-train   (async two-job pair)
+  python -m cocodr_tpu.cli preprocess-coco --data-dirs ... --out ...
+  python -m cocodr_tpu.cli convert-hf --hf-dir ...
+  python -m cocodr_tpu.cli export-hf --checkpoint ... --out ...
   python -m cocodr_tpu.cli presets
 """
 from __future__ import annotations
