@@ -40,6 +40,24 @@ def _sweep_kernel(q_ref, c_ref, out_ref, *, block: int):
     out_ref[:] = jnp.max(scores.reshape(T // block, block, Qt), axis=1)
 
 
+def _sweep_kernel2(q_ref, c_ref, fine_ref, coarse_ref, *, fine: int,
+                   coarse: int):
+    """Dual-output sweep: fine AND coarse maxima in one pass, so the
+    selection phase never re-reads the big fine-maxima array from HBM."""
+    scores = jax.lax.dot_general(
+        c_ref[:],
+        q_ref[:],
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # [T, Qt]
+    T, Qt = scores.shape
+    fm = jnp.max(scores.reshape(T // fine, fine, Qt), axis=1)
+    fine_ref[:] = fm
+    coarse_ref[:] = jnp.max(
+        fm.reshape(T // (fine * coarse), coarse, Qt), axis=1
+    )
+
+
 @functools.partial(
     jax.jit, static_argnames=("tile", "block", "q_tile", "interpret")
 )
@@ -145,25 +163,24 @@ def mips_topk_hierarchical(
     corpus_p = jnp.pad(corpus, ((0, pad), (0, 0))) if pad else corpus
     Np = corpus_p.shape[0]
 
-    # phase 1: fine block maxima, transposed [Np/fine, Q]
-    bm_fine_t = _blockmax_sweep_transposed(
-        queries, corpus_p, tile=tile, block=fine, q_tile=q_tile,
-        interpret=interpret,
-    )  # [Np//fine, Qp] -> sliced to Q inside helper
+    # phase 1: fine + coarse block maxima in ONE kernel pass, both
+    # transposed ([blocks, Q]); the big fine array is written once and only
+    # gathered from, never re-read wholesale
+    bm_fine_t, bm_coarse_t = _dual_sweep_transposed(
+        queries, corpus_p, tile=tile, fine=fine, coarse=coarse,
+        q_tile=q_tile, interpret=interpret,
+    )
     n_fine = Np // fine
     n_coarse = Np // cb
 
-    # mask padded fine blocks
-    fine_ids_all = jnp.arange(n_fine)
+    # mask padded blocks (zero-score pad rows could outrank real negatives)
     n_fine_real = -(-N // fine)
+    n_coarse_real = -(-N // cb)
     bm_fine_t = jnp.where(
-        (fine_ids_all < n_fine_real)[:, None], bm_fine_t, -jnp.inf
+        (jnp.arange(n_fine) < n_fine_real)[:, None], bm_fine_t, -jnp.inf
     )
-
-    # phase 2a: coarse maxima + top-k coarse blocks (the [n_coarse, Q]
-    # transpose is small; the big [n_fine, Q] array is never transposed)
-    bm_coarse = jnp.max(
-        bm_fine_t.reshape(n_coarse, coarse, -1), axis=1
+    bm_coarse = jnp.where(
+        (jnp.arange(n_coarse) < n_coarse_real)[:, None], bm_coarse_t, -jnp.inf
     ).T  # [Q, n_coarse]
     extra = 1 if N % cb else 0
     kc = min(k + extra, n_coarse)
@@ -224,6 +241,59 @@ def mips_topk_hierarchical(
         vals = vals.reshape(-1, k)
         ids = ids.reshape(-1, k)
     return vals[:Q], ids[:Q]
+
+
+def _dual_sweep_transposed(queries, corpus, tile, fine, coarse, q_tile,
+                           interpret):
+    """One kernel pass -> (fine maxima [N/fine, Q], coarse maxima
+    [N/(fine*coarse), Q]), both transposed."""
+    Q, D = queries.shape
+    N = corpus.shape[0]
+    cb = fine * coarse
+    assert N % tile == 0 and tile % cb == 0, (N, tile, cb)
+    if not interpret:
+        assert (tile // cb) % 8 == 0 and q_tile % 128 == 0, (tile, cb, q_tile)
+    n_tiles = N // tile
+    qpad = (-Q) % q_tile
+    if qpad:
+        queries = jnp.pad(queries, ((0, qpad), (0, 0)))
+    Qp = Q + qpad
+    n_q_tiles = Qp // q_tile
+
+    fine_t, coarse_t = pl.pallas_call(
+        functools.partial(_sweep_kernel2, fine=fine, coarse=coarse),
+        grid=(n_tiles, n_q_tiles),
+        in_specs=[
+            pl.BlockSpec(
+                (q_tile, D), lambda i, j: (j, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (tile, D), lambda i, j: (i, 0), memory_space=pltpu.VMEM
+            ),
+        ],
+        out_specs=(
+            pl.BlockSpec(
+                (tile // fine, q_tile), lambda i, j: (i, j),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (tile // cb, q_tile), lambda i, j: (i, j),
+                memory_space=pltpu.VMEM,
+            ),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((N // fine, Qp), jnp.float32),
+            jax.ShapeDtypeStruct((N // cb, Qp), jnp.float32),
+        ),
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * Qp * N * D,
+            bytes_accessed=N * D * 2 + Qp * D * 2
+            + Qp * (N // fine + N // cb) * 4,
+            transcendentals=0,
+        ),
+    )(queries.astype(jnp.bfloat16), corpus.astype(jnp.bfloat16))
+    return fine_t[:, :Q], coarse_t[:, :Q]
 
 
 def _blockmax_sweep_transposed(queries, corpus, tile, block, q_tile,
