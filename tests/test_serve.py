@@ -62,6 +62,5 @@ def test_episode_rewarmup_schedule():
     # new episode restarts the warmup
     assert float(fn(100)) == 0.0
     assert float(fn(105)) == pytest.approx(0.5 * (1 - 105 / 1000))
-    # floor on the decay
-    assert float(fn(950)) == pytest.approx(0.2 * (950 % 100) / 10, abs=1e-6) \
-        or float(fn(950)) >= 0.0
+    # floor on the decay: at step 955 (warmup done in-episode), lr = floor
+    assert float(fn(955)) == pytest.approx(0.2, abs=1e-6)
