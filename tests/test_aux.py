@@ -139,3 +139,35 @@ def test_metrics_logger(tmp_path):
     with st.phase("encode"):
         pass
     assert st.summary()["encode"]["count"] == 1
+
+
+def test_lamb_trust_ratios_diagnostic():
+    import optax
+
+    from cocodr_tpu.optim import lamb
+    from cocodr_tpu.utils.misc import lamb_trust_ratios
+
+    params = {"layer": {"w": jnp.ones((4, 4)) * 2.0, "b": jnp.zeros(4)}}
+    tx = lamb(1e-3)
+    state = tx.init(params)
+    grads = {"layer": {"w": jnp.ones((4, 4)), "b": jnp.ones(4)}}
+    _, state = tx.update(grads, state, params)
+    ratios = lamb_trust_ratios(state, params)
+    assert any("layer/w" in k for k in ratios)
+    for v in ratios.values():
+        assert np.isfinite(v) and v >= 0
+
+
+def test_read_group_results(tmp_path):
+    import json as _json
+
+    from cocodr_tpu.utils.misc import read_group_results
+
+    (tmp_path / "ann_ndcg_group_scifact_0").write_text(
+        _json.dumps({"ndcg": 0.1, "checkpoint": "a"})
+    )
+    (tmp_path / "ann_ndcg_group_scifact_2").write_text(
+        _json.dumps({"ndcg": 0.5, "checkpoint": "b"})
+    )
+    out = read_group_results(str(tmp_path))
+    assert out["scifact"]["ndcg"] == 0.5  # latest round wins
