@@ -43,7 +43,18 @@ def _sweep_kernel(q_ref, c_ref, out_ref, *, block: int):
 def _sweep_kernel2(q_ref, c_ref, fine_ref, coarse_ref, *, fine: int,
                    coarse: int):
     """Dual-output sweep: fine AND coarse maxima in one pass, so the
-    selection phase never re-reads the big fine-maxima array from HBM."""
+    selection phase never re-reads the big fine-maxima array from HBM.
+
+    Fine maxima are written QUERY-MAJOR (in-kernel VPU transpose of the
+    [T/fine, Qt] tile): downstream gathers then read contiguous
+    `coarse`-length runs along the minor axis, which the XLA gather engine
+    serves ~2.7x faster than the per-column scattered gathers the
+    corpus-major layout forces (measured: 6.9ms vs 12.4ms for the fine
+    select at 1M x 768, Q=1024). The transpose also speeds the sweep itself
+    up (12.0ms vs 14.0ms) — the [Qt, T/fine] store pattern is friendlier.
+    Coarse maxima stay corpus-major: their [T/cb, Qt] block has a minor dim
+    < 128 when transposed (Mosaic lane constraint) and the array is small
+    enough (64MB at 1M docs) that an XLA transpose downstream is cheap."""
     scores = jax.lax.dot_general(
         c_ref[:],
         q_ref[:],
@@ -52,7 +63,7 @@ def _sweep_kernel2(q_ref, c_ref, fine_ref, coarse_ref, *, fine: int,
     )  # [T, Qt]
     T, Qt = scores.shape
     fm = jnp.max(scores.reshape(T // fine, fine, Qt), axis=1)
-    fine_ref[:] = fm
+    fine_ref[:] = fm.T  # [Qt, T/fine]
     coarse_ref[:] = jnp.max(
         fm.reshape(T // (fine * coarse), coarse, Qt), axis=1
     )
@@ -150,10 +161,13 @@ def mips_topk_hierarchical(
     k blocks at any granularity can contain true top-k items, and each such
     block's max >= the global k-th score). The fine level cuts the
     candidate-gather 4x vs block=32 (the gather dominated the flat version:
-    100ms of a 136ms search); the coarse level cuts the big sort 2x.
+    100ms of a 136ms search); the coarse level cuts the big sort 2x; the
+    query-major fine-maxima layout makes the fine select a contiguous
+    run-gather (2.7x faster than the scattered corpus-major gather).
 
-    Measured (v5e, 1M x 768, Q=1024, k=100): 41 ms/search -> ~25k QPS
-    (sweep 12ms at 142 TFLOP/s; selection + block-gather rescore the rest).
+    Measured (v5e, 1M x 768, Q=1024, k=100): 29.3 ms/search -> ~35k QPS
+    (sweep 12ms at 142 TFLOP/s; coarse top_k ~5ms, fine run-gather+top_k
+    ~4ms, block-gather rescore ~8ms).
     """
     Q, D = queries.shape
     N = corpus.shape[0]
@@ -163,10 +177,10 @@ def mips_topk_hierarchical(
     corpus_p = jnp.pad(corpus, ((0, pad), (0, 0))) if pad else corpus
     Np = corpus_p.shape[0]
 
-    # phase 1: fine + coarse block maxima in ONE kernel pass, both
-    # transposed ([blocks, Q]); the big fine array is written once and only
-    # gathered from, never re-read wholesale
-    bm_fine_t, bm_coarse_t = _dual_sweep_transposed(
+    # phase 1: fine + coarse block maxima in ONE kernel pass; fine maxima
+    # arrive QUERY-MAJOR ([Q, n_fine]) so phase 2b is a contiguous-run
+    # gather, coarse maxima corpus-major ([n_coarse, Q])
+    bm_fine_q, bm_coarse_t = _dual_sweep_mixed(
         queries, corpus_p, tile=tile, fine=fine, coarse=coarse,
         q_tile=q_tile, interpret=interpret,
     )
@@ -176,9 +190,6 @@ def mips_topk_hierarchical(
     # mask padded blocks (zero-score pad rows could outrank real negatives)
     n_fine_real = -(-N // fine)
     n_coarse_real = -(-N // cb)
-    bm_fine_t = jnp.where(
-        (jnp.arange(n_fine) < n_fine_real)[:, None], bm_fine_t, -jnp.inf
-    )
     bm_coarse = jnp.where(
         (jnp.arange(n_coarse) < n_coarse_real)[:, None], bm_coarse_t, -jnp.inf
     ).T  # [Q, n_coarse]
@@ -186,13 +197,21 @@ def mips_topk_hierarchical(
     kc = min(k + extra, n_coarse)
     _, coarse_ids = jax.lax.top_k(bm_coarse, kc)  # [Q, kc]
 
-    # phase 2b: fine maxima within surviving coarse blocks, gathered
-    # directly from the transposed maxima: out[j, q] = bm_fine_t[idx[j,q], q]
+    # phase 2b: fine maxima within surviving coarse blocks. In query-major
+    # layout the `coarse` fine maxima of one coarse block are contiguous, so
+    # this is a run-gather of 4*coarse-byte slices along the minor axis
+    # (measured ~2.7x faster than the corpus-major scattered gather).
+    fine_max = jnp.take_along_axis(
+        bm_fine_q.reshape(Q, n_coarse, coarse),
+        coarse_ids[:, :, None],
+        axis=1,
+    ).reshape(Q, kc * coarse)
     fine_cand = (
         coarse_ids[:, :, None] * coarse
         + jnp.arange(coarse, dtype=jnp.int32)[None, None, :]
     ).reshape(Q, kc * coarse)
-    fine_max = jnp.take_along_axis(bm_fine_t, fine_cand.T, axis=0).T
+    # mask padded FINE blocks here (cheaper than masking the big array)
+    fine_max = jnp.where(fine_cand < n_fine_real, fine_max, -jnp.inf)
     kf = min(k + extra, n_fine_real)
     _, pos = jax.lax.top_k(fine_max, kf)
     fine_ids = jnp.take_along_axis(fine_cand, pos, axis=1)  # [Q, kf]
@@ -243,16 +262,17 @@ def mips_topk_hierarchical(
     return vals[:Q], ids[:Q]
 
 
-def _dual_sweep_transposed(queries, corpus, tile, fine, coarse, q_tile,
-                           interpret):
-    """One kernel pass -> (fine maxima [N/fine, Q], coarse maxima
-    [N/(fine*coarse), Q]), both transposed."""
+def _dual_sweep_mixed(queries, corpus, tile, fine, coarse, q_tile,
+                      interpret):
+    """One kernel pass -> (fine maxima [Q, N/fine] QUERY-major, coarse
+    maxima [N/(fine*coarse), Q] corpus-major)."""
     Q, D = queries.shape
     N = corpus.shape[0]
     cb = fine * coarse
     assert N % tile == 0 and tile % cb == 0, (N, tile, cb)
     if not interpret:
         assert (tile // cb) % 8 == 0 and q_tile % 128 == 0, (tile, cb, q_tile)
+        assert (tile // fine) % 128 == 0, (tile, fine)  # q-major fine block
     n_tiles = N // tile
     qpad = (-Q) % q_tile
     if qpad:
@@ -260,7 +280,7 @@ def _dual_sweep_transposed(queries, corpus, tile, fine, coarse, q_tile,
     Qp = Q + qpad
     n_q_tiles = Qp // q_tile
 
-    fine_t, coarse_t = pl.pallas_call(
+    fine_q, coarse_t = pl.pallas_call(
         functools.partial(_sweep_kernel2, fine=fine, coarse=coarse),
         grid=(n_tiles, n_q_tiles),
         in_specs=[
@@ -273,7 +293,7 @@ def _dual_sweep_transposed(queries, corpus, tile, fine, coarse, q_tile,
         ],
         out_specs=(
             pl.BlockSpec(
-                (tile // fine, q_tile), lambda i, j: (i, j),
+                (q_tile, tile // fine), lambda i, j: (j, i),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
@@ -282,7 +302,7 @@ def _dual_sweep_transposed(queries, corpus, tile, fine, coarse, q_tile,
             ),
         ),
         out_shape=(
-            jax.ShapeDtypeStruct((N // fine, Qp), jnp.float32),
+            jax.ShapeDtypeStruct((Qp, N // fine), jnp.float32),
             jax.ShapeDtypeStruct((N // cb, Qp), jnp.float32),
         ),
         interpret=interpret,
@@ -293,7 +313,7 @@ def _dual_sweep_transposed(queries, corpus, tile, fine, coarse, q_tile,
             transcendentals=0,
         ),
     )(queries.astype(jnp.bfloat16), corpus.astype(jnp.bfloat16))
-    return fine_t[:, :Q], coarse_t[:, :Q]
+    return fine_q[:Q], coarse_t[:, :Q]
 
 
 def _blockmax_sweep_transposed(queries, corpus, tile, block, q_tile,
