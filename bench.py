@@ -61,20 +61,26 @@ def bench_encode(batch=256, seq=128, iters=15):
     return batch / dt, dt * 1e3
 
 
-def bench_mips(n_docs=1_048_576, dim=768, n_queries=1024, k=100, iters=5):
-    """Exact top-k via the pallas hierarchical kernel (see ops/pallas_mips)."""
-    from cocodr_tpu.ops.pallas_mips import mips_topk_hierarchical
+def bench_mips(n_docs=1_048_576, dim=768, n_queries=1024, k=100, iters=5,
+               fast=False):
+    """Top-k QPS: exact pallas hierarchical kernel, or the rescore-free
+    block-argmax fast mode (see ops/pallas_mips)."""
+    from cocodr_tpu.ops.pallas_mips import (
+        mips_topk_fast,
+        mips_topk_hierarchical,
+    )
 
+    search = mips_topk_fast if fast else mips_topk_hierarchical
     corpus = jax.random.normal(jax.random.PRNGKey(0), (n_docs, dim), jnp.bfloat16)
     queries = jax.random.normal(
         jax.random.PRNGKey(1), (n_queries, dim), jnp.bfloat16
     )
     jax.block_until_ready((corpus, queries))
-    v, _ = mips_topk_hierarchical(queries, corpus, k)
+    v, _ = search(queries, corpus, k)
     _ = np.asarray(v)
     t0 = time.time()
     for _ in range(iters):
-        v, _ = mips_topk_hierarchical(queries, corpus, k)
+        v, _ = search(queries, corpus, k)
     _ = np.asarray(v)
     dt = (time.time() - t0) / iters
     return n_queries / dt
@@ -151,6 +157,7 @@ def main():
     extras = {"encode_ms_per_batch_256x128": round(ms_per_batch, 2)}
     try:
         extras["mips_exact_qps_1M_docs_k100"] = round(bench_mips(), 1)
+        extras["mips_fast_qps_1M_docs_k100"] = round(bench_mips(fast=True), 1)
     except Exception as e:  # MIPS bench is best-effort (long compile)
         extras["mips_error"] = str(e)[:200]
     try:

@@ -288,6 +288,8 @@ def mips_topk_chunked_queries(
       'auto'     — pallas hierarchical kernel on TPU backends, XLA block-max
                    elsewhere (both exact);
       'pallas'   — force the pallas hierarchical kernel;
+      'fast'     — pallas rescore-free block-argmax mode (~1.25x faster,
+                   ~99.7% recall@100; see pallas_mips.mips_topk_fast);
       'blockmax' — force the XLA block-max path;
       'naive'    — per-tile sort sweep (reference-style; also the
                    exact_fp32 path).
@@ -306,6 +308,10 @@ def mips_topk_chunked_queries(
             from cocodr_tpu.ops.pallas_mips import mips_topk_hierarchical
 
             v, i = mips_topk_hierarchical(qc, corpus, k)
+        elif method == "fast":
+            from cocodr_tpu.ops.pallas_mips import mips_topk_fast
+
+            v, i = mips_topk_fast(qc, corpus, k)
         elif method == "blockmax":
             v, i = mips_topk_blockmax(
                 qc, corpus, k, tile=min(kw.get("tile", 16384) * 4, 65536)

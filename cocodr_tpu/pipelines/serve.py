@@ -3,9 +3,10 @@
 The reference has no serving story (research pipelines only); production
 deployment is a first-class goal here. `RetrievalService` holds the corpus
 embeddings device-resident (bf16 HBM; ~1.5GB per million 768-d docs on one
-v5e) and answers text queries with one jitted encode + the pallas exact
-top-k — at the measured rates (~5k encodes/s, ~17k search QPS @1M docs) a
-single chip serves thousands of queries per second end to end.
+v5e) and answers text queries with one jitted encode + the pallas top-k
+(exact 34.8k QPS or rescore-free fast mode 42.7k QPS @1M docs; encode ~5k
+queries/s) — a single chip serves thousands of queries per second end to
+end.
 """
 from __future__ import annotations
 
@@ -23,6 +24,9 @@ class ServeConfig:
     max_query_len: int = 64
     max_batch: int = 64  # queries padded to this static batch size
     exact_fp32: bool = False
+    # rescore-free block-argmax search (~1.25x lower latency, ~99.7%
+    # recall@100 — pallas_mips.mips_topk_fast); ignored with exact_fp32
+    fast_search: bool = False
 
 
 class RetrievalService:
@@ -83,9 +87,14 @@ class RetrievalService:
         if self.cfg.exact_fp32:
             vals, idx = mips_topk(emb, self.corpus, k, exact_fp32=True)
         elif _tpu_like_backend():
-            from cocodr_tpu.ops.pallas_mips import mips_topk_hierarchical
+            from cocodr_tpu.ops.pallas_mips import (
+                mips_topk_fast,
+                mips_topk_hierarchical,
+            )
 
-            vals, idx = mips_topk_hierarchical(emb, self.corpus, k)
+            search = (mips_topk_fast if self.cfg.fast_search
+                      else mips_topk_hierarchical)
+            vals, idx = search(emb, self.corpus, k)
         else:
             vals, idx = mips_topk_blockmax(emb, self.corpus, k)
         vals = np.asarray(vals)[:nq]

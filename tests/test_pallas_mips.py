@@ -93,3 +93,61 @@ def test_hierarchical_packed_block():
         q_tile=4, interpret=True,
     )
     assert set(range(64, 72)).issubset(set(np.asarray(i)[0].tolist()))
+
+
+def test_fast_mode_block_argmax():
+    """Every id returned by the fast mode is the argmax of its fine block,
+    values are the true scores with 3 mantissa LSBs cleared, and recall@k
+    vs exact search is high."""
+    from cocodr_tpu.ops.pallas_mips import mips_topk_fast
+
+    rng = np.random.RandomState(7)
+    Q, N, D, K, FINE = 8, 1000, 32, 20, 4
+    q = rng.randn(Q, D).astype(np.float32)
+    c = rng.randn(N, D).astype(np.float32)
+    v, i = mips_topk_fast(
+        jnp.asarray(q), jnp.asarray(c), k=K, tile=128, fine=FINE, coarse=4,
+        q_tile=8, interpret=True,
+    )
+    v, i = np.asarray(v), np.asarray(i)
+    s = np.asarray(
+        jnp.matmul(
+            jnp.asarray(q, jnp.bfloat16),
+            jnp.asarray(c, jnp.bfloat16).T,
+            preferred_element_type=jnp.float32,
+        )
+    )
+    # block-argmax property + value = score with 3 LSBs cleared
+    for qi in range(Q):
+        for j in range(K):
+            doc = i[qi, j]
+            blk = doc // FINE
+            rows = s[qi, blk * FINE : min((blk + 1) * FINE, N)]
+            assert s[qi, doc] == rows.max()
+            # value = block max with 3 LSBs cleared, up to accumulation-
+            # order ULPs between dot_general and the reference matmul
+            assert np.isclose(v[qi, j], s[qi, doc], rtol=1e-5), (
+                v[qi, j], s[qi, doc])
+    # recall vs exact
+    exact_ids = np.argsort(-s, axis=1)[:, :K]
+    rec = np.mean(
+        [len(set(i[qi]) & set(exact_ids[qi])) / K for qi in range(Q)]
+    )
+    assert rec >= 0.9, rec
+
+
+def test_fast_mode_nonaligned_tail():
+    """Pad rows (replicated last row) must never produce out-of-range ids."""
+    from cocodr_tpu.ops.pallas_mips import mips_topk_fast
+
+    rng = np.random.RandomState(8)
+    Q, N, D = 4, 130, 16  # 130 % (4*4) != 0
+    q = rng.randn(Q, D).astype(np.float32)
+    c = -np.abs(rng.randn(N, D)).astype(np.float32)  # all-negative scores
+    v, i = mips_topk_fast(
+        jnp.asarray(q), jnp.asarray(np.abs(c)), k=8, tile=64, fine=4,
+        coarse=4, q_tile=4, interpret=True,
+    )
+    i = np.asarray(i)
+    assert i.min() >= 0 and i.max() < N
+    assert len(set(i[0].tolist())) == 8  # no duplicate docs
