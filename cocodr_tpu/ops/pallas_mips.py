@@ -213,6 +213,11 @@ def mips_topk_hierarchical(
     N = corpus.shape[0]
     k = min(k, N)
     cb = fine * coarse
+    # don't pad small query batches up to a full q_tile: the fine-maxima
+    # output is [Qpadded, N/fine] f32, and at MARCO scale (8.8M docs) a
+    # 512-row pad overflows Mosaic's 2GB buffer-offset limit (and wastes
+    # half the sweep)
+    q_tile = min(q_tile, max(128, -(-Q // 128) * 128))
     corpus_p = _pad_replicate(corpus, max(tile, cb))
     Np = corpus_p.shape[0]
 
@@ -336,6 +341,7 @@ def mips_topk_fast(
     k = min(k, N)
     cb = fine * coarse
     assert fine <= 8, "argmax packing uses 3 mantissa bits"
+    q_tile = min(q_tile, max(128, -(-Q // 128) * 128))  # see hierarchical
     corpus_p = _pad_replicate(corpus, max(tile, cb))
     Np = corpus_p.shape[0]
 
