@@ -300,6 +300,9 @@ def mips_topk_chunked_queries(
         method = "naive"
     if method == "auto":
         method = "pallas" if _tpu_like_backend() else "blockmax"
+    if method in ("pallas", "fast") and not _tpu_like_backend():
+        # Mosaic kernels need a TPU; exact XLA path is the honest fallback
+        method = "blockmax"
 
     out_v, out_i = [], []
     for s in range(0, queries.shape[0], q_chunk):

@@ -27,6 +27,9 @@ class ServeConfig:
     # rescore-free block-argmax search (~1.25x lower latency, ~99.7%
     # recall@100 — pallas_mips.mips_topk_fast); ignored with exact_fp32
     fast_search: bool = False
+    # int8-quantized corpus: half the HBM (~17M 768-d docs/chip) at the
+    # same search latency (pallas_mips.mips_topk_int8); TPU backends only
+    quantize_int8: bool = False
 
 
 class RetrievalService:
@@ -42,12 +45,20 @@ class RetrievalService:
         self.cfg = cfg
         self.tokenizer = tokenizer
         self.doc_ids = doc_ids
-        self.corpus = jax.device_put(
-            jnp.asarray(
-                corpus_emb,
-                jnp.float32 if cfg.exact_fp32 else jnp.bfloat16,
+        if cfg.quantize_int8 and not cfg.exact_fp32:
+            from cocodr_tpu.ops.pallas_mips import quantize_corpus_int8
+
+            c_i8, dim_scale = quantize_corpus_int8(jnp.asarray(corpus_emb))
+            self.corpus = jax.device_put(c_i8)
+            self.dim_scale = jax.device_put(dim_scale)
+        else:
+            self.corpus = jax.device_put(
+                jnp.asarray(
+                    corpus_emb,
+                    jnp.float32 if cfg.exact_fp32 else jnp.bfloat16,
+                )
             )
-        )
+            self.dim_scale = None
         self.params = jax.device_put(params)
         self._model = model
         self._encode = jax.jit(
@@ -90,13 +101,22 @@ class RetrievalService:
             from cocodr_tpu.ops.pallas_mips import (
                 mips_topk_fast,
                 mips_topk_hierarchical,
+                mips_topk_int8,
             )
 
-            search = (mips_topk_fast if self.cfg.fast_search
-                      else mips_topk_hierarchical)
-            vals, idx = search(emb, self.corpus, k)
+            if self.dim_scale is not None:
+                vals, idx = mips_topk_int8(
+                    emb, self.corpus, self.dim_scale, k)
+            else:
+                search = (mips_topk_fast if self.cfg.fast_search
+                          else mips_topk_hierarchical)
+                vals, idx = search(emb, self.corpus, k)
         else:
-            vals, idx = mips_topk_blockmax(emb, self.corpus, k)
+            corpus = self.corpus
+            if self.dim_scale is not None:  # dequantize off-TPU (tests)
+                corpus = (corpus.astype(jnp.float32)
+                          * self.dim_scale).astype(jnp.bfloat16)
+            vals, idx = mips_topk_blockmax(emb, corpus, k)
         vals = np.asarray(vals)[:nq]
         idx = np.asarray(idx)[:nq]
         if self.doc_ids is not None:

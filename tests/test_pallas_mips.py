@@ -151,3 +151,39 @@ def test_fast_mode_nonaligned_tail():
     i = np.asarray(i)
     assert i.min() >= 0 and i.max() < N
     assert len(set(i[0].tolist())) == 8  # no duplicate docs
+
+
+def test_int8_mode():
+    """int8 quantized search: integer argmax packing is exactly monotone,
+    ids are in range, and recall vs f32 exact search is high."""
+    from cocodr_tpu.ops.pallas_mips import (
+        mips_topk_int8,
+        quantize_corpus_int8,
+    )
+
+    rng = np.random.RandomState(9)
+    Q, N, D, K = 8, 1000, 32, 20
+    q = rng.randn(Q, D).astype(np.float32)
+    c = rng.randn(N, D).astype(np.float32)
+    c_i8, ds = quantize_corpus_int8(jnp.asarray(c))
+    # quantization roundtrip sanity
+    np.testing.assert_allclose(
+        np.asarray(c_i8, np.float32) * np.asarray(ds), c, atol=0.05
+    )
+    v, i = mips_topk_int8(
+        jnp.asarray(q), c_i8, ds, k=K, tile=128, fine=4, coarse=4,
+        q_tile=8, interpret=True,
+    )
+    v, i = np.asarray(v), np.asarray(i)
+    assert i.min() >= 0 and i.max() < N
+    s = q @ c.T
+    exact_ids = np.argsort(-s, axis=1)[:, :K]
+    rec = np.mean(
+        [len(set(i[qi]) & set(exact_ids[qi])) / K for qi in range(Q)]
+    )
+    assert rec >= 0.85, rec
+    # approx scores close to true scores of the returned docs
+    got = np.take_along_axis(s, i, axis=1)
+    np.testing.assert_allclose(v, got, rtol=0.05, atol=0.1)
+    # ranking within the returned list is by quantized score, descending
+    assert np.all(np.diff(v, axis=1) <= 1e-6)
