@@ -143,3 +143,19 @@ def test_blockmax_unaligned():
     vr, _ = mips_topk(jnp.asarray(q), jnp.asarray(c), k=15, tile=256)
     np.testing.assert_allclose(np.asarray(v), np.asarray(vr), atol=1e-5)
     assert np.asarray(i).max() < 777
+
+
+def test_chunked_queries_fast_falls_back_off_tpu():
+    """method='fast'/'pallas' require Mosaic; on CPU the dispatcher must
+    fall back to the exact XLA block-max path rather than crash."""
+    import numpy as np
+
+    from cocodr_tpu.ops.mips import mips_topk_chunked_queries
+
+    rng = np.random.RandomState(3)
+    q = rng.randn(8, 16).astype(np.float32)
+    c = rng.randn(300, 16).astype(np.float32)
+    v, i = mips_topk_chunked_queries(q, c, 5, method="fast")
+    s = q @ c.T
+    ref = np.argsort(-s, axis=1)[:, :5]
+    assert np.array_equal(np.sort(i, 1), np.sort(ref, 1))
