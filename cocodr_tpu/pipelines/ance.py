@@ -52,6 +52,10 @@ class MineConfig:
     q_chunk: int = 4096
     mips_tile: int = 32768
     exact_fp32: bool = False  # fp32 sweep (FAISS-bit parity); default bf16+fp32 rescore
+    # search method for mining/dev eval: 'auto' (exact pallas on TPU) or
+    # 'fast' (rescore-free block-argmax, ~1.25x faster, ~99.7% recall@100 —
+    # hard negatives tolerate it); ignored with exact_fp32
+    search_method: str = "auto"
     # mine each round over 1/chunk_factor of the train queries, rotating by
     # round (reference ann_chunk_factor, data_gen.py:332-386); <=1 disables.
     # ignored when cluster_query=True, matching the reference.
@@ -225,7 +229,7 @@ def mine(
     k = min(cfg.dev_topk, corpus_emb.shape[0])
     _, dev_top = mips_topk_chunked_queries(
         dev_emb, corpus_emb, k, q_chunk=cfg.q_chunk, tile=cfg.mips_tile,
-        exact_fp32=cfg.exact_fp32,
+        exact_fp32=cfg.exact_fp32, method=cfg.search_method,
     )
     dev_top = rows_to_docs(dev_top)
     dev_run = run_from_topk(
@@ -250,7 +254,7 @@ def mine(
     kt = min(cfg.topk_training, corpus_emb.shape[0])
     _, train_top = mips_topk_chunked_queries(
         train_emb, corpus_emb, kt, q_chunk=cfg.q_chunk, tile=cfg.mips_tile,
-        exact_fp32=cfg.exact_fp32,
+        exact_fp32=cfg.exact_fp32, method=cfg.search_method,
     )
     negatives, mrr_scores = generate_negatives(
         rows_to_docs(train_top), query_ids, train_positives, cfg, rng
