@@ -26,14 +26,76 @@ import sys
 def _add_common(p):
     p.add_argument("--preset", default=None)
     p.add_argument("--compile-cache", default="/root/repo/.jax_cache")
+    p.add_argument(
+        "--mesh",
+        default=None,
+        help="device mesh 'DATAxMODEL' (e.g. 8x1, 4x2) or 'auto' for all "
+        "devices data-parallel; default single-device",
+    )
+    p.add_argument(
+        "--cpu-devices",
+        type=int,
+        default=0,
+        help="provision N virtual CPU devices (multi-device smoke tests "
+        "without TPU hardware)",
+    )
+    p.add_argument(
+        "--distributed",
+        action="store_true",
+        help="multi-host: jax.distributed.initialize() (coordinator "
+        "address/rank from env or cluster autodetection)",
+    )
+    p.add_argument("--log-dir", default=None,
+                   help="TensorBoard + JSONL metrics directory")
 
 
 def _setup_jax(args):
+    """Runtime setup. Order matters: virtual CPU devices can only be
+    provisioned before any backend initialization, and multi-host init must
+    precede device enumeration."""
     import jax
 
+    if getattr(args, "cpu_devices", 0):
+        jax.config.update("jax_num_cpu_devices", args.cpu_devices)
+        jax.config.update("jax_platforms", "cpu")
+    if getattr(args, "distributed", False):
+        # the reference launches every stage under torch.distributed.launch
+        # with RANK/MASTER_* env (ANCE/drivers/run_ann.py:833-843); the JAX
+        # equivalent autodetects or reads COORDINATOR_ADDRESS etc.
+        jax.distributed.initialize()
     if getattr(args, "compile_cache", None):
         jax.config.update("jax_compilation_cache_dir", args.compile_cache)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+
+def _build_mesh(args):
+    """--mesh spec -> jax.sharding.Mesh (or None for single-device)."""
+    spec = getattr(args, "mesh", None)
+    if not spec:
+        return None
+    from cocodr_tpu.core.mesh import MeshConfig, create_mesh
+
+    if spec == "auto":
+        cfg = MeshConfig()
+    else:
+        try:
+            d, m = spec.lower().split("x")
+            cfg = MeshConfig(data=int(d), model=int(m))
+        except ValueError:
+            raise SystemExit(f"bad --mesh '{spec}': expected DATAxMODEL or auto")
+    return create_mesh(cfg)
+
+
+def _metrics_logger(args):
+    if not getattr(args, "log_dir", None):
+        return None
+    from cocodr_tpu.utils.logging import MetricsLogger
+
+    os.makedirs(args.log_dir, exist_ok=True)
+    return MetricsLogger(
+        log_dir=args.log_dir,
+        jsonl_path=os.path.join(args.log_dir, "metrics.jsonl"),
+    )
 
 
 def _load_tokenizer(path_or_name: str):
@@ -95,6 +157,7 @@ def cmd_eval_beir(args):
     _setup_jax(args)
     from cocodr_tpu.pipelines.eval_beir import eval_beir
 
+    mesh = _build_mesh(args)
     model, params, _ = _load_model_params(args.checkpoint, args.model_type)
     tokenizer = _load_tokenizer(args.tokenizer or args.checkpoint)
     kw = {}
@@ -102,18 +165,36 @@ def cmd_eval_beir(args):
         kw["query_len"] = args.query_len
     if args.doc_len:
         kw["doc_len"] = args.doc_len
+    task = args.task or os.path.basename(os.path.normpath(args.data_dir))
     metrics = eval_beir(
         model,
         params,
         args.data_dir,
         args.work_dir,
         tokenizer,
-        task=args.task,
+        task=task,
+        mesh=mesh,
         batch_size=args.batch_size,
         top_k=args.top_k,
         exact_fp32=args.exact_fp32,
         **kw,
     )
+    if args.result_dir:
+        # per-BEIR-task group curve protocol consumed by the ANCE trainer
+        # (reference ANCE/drivers/run_ann.py:270-284)
+        from cocodr_tpu.pipelines.ance import write_group_ndcg
+
+        write_group_ndcg(
+            args.result_dir,
+            task,
+            args.result_num,
+            metrics["ndcg_cut_10"],
+            checkpoint=args.checkpoint,
+        )
+    logger = _metrics_logger(args)
+    if logger:
+        logger.log(args.result_num, metrics, prefix=f"beir/{task}/")
+        logger.close()
     print(json.dumps(metrics, indent=2))
 
 
@@ -178,10 +259,17 @@ def cmd_warmup(args):
     from cocodr_tpu.utils.train_state import TrainState
 
     cfg = PRESETS[args.preset]() if args.preset else WarmupStageConfig.base()
+    mesh = _build_mesh(args)
     model, params, _ = _load_model_params(args.checkpoint, cfg.model_type)
     tokenizer = _load_tokenizer(args.tokenizer or args.checkpoint)
     tx = cfg.optimizer.build()
-    state = TrainState.create(params, tx)
+    device_put = None
+    if mesh is not None:
+        from cocodr_tpu.parallel.sharded_train import shard_train_init
+
+        state, device_put = shard_train_init(mesh, params, tx)
+    else:
+        state = TrainState.create(params, tx)
     step = build_train_step(model, tx, TrainStepConfig(loss_kind="nll"))
     eval_fn = None
     if args.eval_data_dir:
@@ -211,6 +299,13 @@ def cmd_warmup(args):
         max_steps=args.max_steps,
         eval_every_steps=args.eval_every,
     )
+    logger = _metrics_logger(args)
+
+    def log_fn(s, m):
+        print(json.dumps({"step": s, **m}))
+        if logger:
+            logger.log(s, m, prefix="warmup/")
+
     run_warmup(
         state,
         step,
@@ -219,26 +314,27 @@ def cmd_warmup(args):
         wcfg,
         args.ckpt_dir,
         eval_fn=eval_fn,
-        log_fn=lambda s, m: print(json.dumps({"step": s, **m})),
+        log_fn=log_fn,
+        dropout_seed=None if args.no_dropout else args.seed,
+        device_put=device_put,
     )
+    if logger:
+        logger.close()
 
 
 def cmd_ance(args):
     _setup_jax(args)
-    from cocodr_tpu.core.configs import AnceStageConfig, PRESETS
-    from cocodr_tpu.data.native import open_token_cache
-    from cocodr_tpu.data.records import load_qrels
     from cocodr_tpu.data.streams import TripletBatcher
-    from cocodr_tpu.losses import dro_greedy_init
-    from cocodr_tpu.pipelines.ance import MineConfig, ance_round
+    from cocodr_tpu.pipelines.ance import (
+        MineConfig,
+        ance_round,
+        get_latest_ann_data,
+    )
     from cocodr_tpu.pipelines.train_step import TrainStepConfig, build_train_step
-    from cocodr_tpu.utils.train_state import TrainState, save_checkpoint
+    from cocodr_tpu.utils.train_state import save_checkpoint
 
-    cfg = PRESETS[args.preset]() if args.preset else AnceStageConfig.base()
-    model, params, _ = _load_model_params(args.checkpoint, cfg.model_type)
-    tx = cfg.optimizer.build()
-    extra = dro_greedy_init(cfg.dro) if cfg.loss_kind != "nll" else None
-    state = TrainState.create(params, tx, extra=extra)
+    (cfg, model, tx, state, pc, qc, dev_qc, positives, dev_qrels, mesh,
+     device_put) = _ance_setup(args)
     step = build_train_step(
         model,
         tx,
@@ -249,12 +345,6 @@ def cmd_ance(args):
             max_grad_norm=cfg.optimizer.max_grad_norm,
         ),
     )
-    pc = open_token_cache(os.path.join(args.data_dir, "passages"))
-    qc = open_token_cache(os.path.join(args.data_dir, "train-query"))
-    dev_qc = open_token_cache(os.path.join(args.data_dir, "dev-query"))
-    train_qrels = load_qrels(os.path.join(args.data_dir, "train-qrel.tsv"))
-    positives = {q: max(d, key=d.get) for q, d in train_qrels.items()}
-    dev_qrels = load_qrels(os.path.join(args.data_dir, "dev-qrel.tsv"))
     batcher = TripletBatcher(qc, pc)
     mine_cfg = MineConfig(
         topk_training=cfg.topk_training,
@@ -263,7 +353,16 @@ def cmd_ance(args):
         cluster_centroids=cfg.dro.n_groups,
         batch_size=cfg.eval_batch,
     )
-    for rnd in range(args.rounds):
+    logger = _metrics_logger(args)
+    work_dir = os.path.join(args.ckpt_dir, "ann_data")
+    # resume: the state was restored in _ance_setup; continue at the round
+    # after the last mined ann file (reference restarts discover the latest
+    # checkpoint + ann data the same way, run_ann.py:998-1002,263-287)
+    start_round = 0
+    if not args.no_resume:
+        last_n, _, _ = get_latest_ann_data(work_dir)
+        start_round = last_n + 1
+    for rnd in range(start_round, args.rounds):
         state, dev_metrics, steps = ance_round(
             state,
             step,
@@ -274,19 +373,23 @@ def cmd_ance(args):
             positives,
             dev_qc,
             dev_qrels,
-            os.path.join(args.ckpt_dir, "ann_data"),
+            work_dir,
             rnd,
             mine_cfg,
             batch_size=args.batch_size or cfg.per_device_batch,
             steps_per_round=args.steps_per_round,
+            mesh=mesh,
+            dropout_seed=None if args.no_dropout else args.seed,
+            device_put=device_put,
         )
-        print(
-            json.dumps(
-                {"round": rnd, "steps": steps, **{k: float(v) for k, v in
-                                                  dev_metrics.items()}}
-            )
-        )
+        rec = {"round": rnd, "steps": steps,
+               **{k: float(v) for k, v in dev_metrics.items()}}
+        print(json.dumps(rec))
+        if logger:
+            logger.log(int(state.step), rec, prefix="ance/")
         save_checkpoint(args.ckpt_dir, state, keep=3)
+    if logger:
+        logger.close()
 
 
 def cmd_preprocess_coco(args):
@@ -400,26 +503,58 @@ def cmd_coco(args):
 
 
 def _ance_setup(args):
-    """Shared state for the async ance-mine / ance-train jobs."""
+    """Shared state for the ance / ance-mine / ance-train jobs: config,
+    model, mesh-sharded train state (resumed from the latest DONE checkpoint
+    unless --no-resume), token caches and qrels."""
+    import dataclasses as _dc
+
     from cocodr_tpu.core.configs import AnceStageConfig, PRESETS
     from cocodr_tpu.data.native import open_token_cache
     from cocodr_tpu.data.records import load_qrels
-    from cocodr_tpu.utils.train_state import TrainState
+    from cocodr_tpu.losses import dro_greedy_init
+    from cocodr_tpu.utils.train_state import (
+        TrainState,
+        latest_checkpoint,
+        load_checkpoint,
+    )
 
     cfg = PRESETS[args.preset]() if args.preset else AnceStageConfig.base()
+    if getattr(args, "rewarmup", False):
+        # per-episode LR re-warmup + cross-episode decay
+        # (reference ANCE/drivers/run_ann.py:120-125,248-266)
+        episode = getattr(args, "steps_per_round", 0) or cfg.max_steps_per_episode
+        cfg = _dc.replace(
+            cfg,
+            optimizer=_dc.replace(
+                cfg.optimizer,
+                schedule="episode-rewarmup",
+                episode_steps=episode,
+            ),
+        )
+    mesh = _build_mesh(args)
     model, params, _ = _load_model_params(args.checkpoint, cfg.model_type)
     tx = cfg.optimizer.build()
-    from cocodr_tpu.losses import dro_greedy_init
-
     extra = dro_greedy_init(cfg.dro) if cfg.loss_kind != "nll" else None
-    state = TrainState.create(params, tx, extra=extra)
+    device_put = None
+    if mesh is not None:
+        from cocodr_tpu.parallel.sharded_train import shard_train_init
+
+        state, device_put = shard_train_init(mesh, params, tx, extra=extra)
+    else:
+        state = TrainState.create(params, tx, extra=extra)
+    if not getattr(args, "no_resume", False):
+        ck = latest_checkpoint(args.ckpt_dir)
+        if ck:
+            state = load_checkpoint(ck, state)
+            print(json.dumps({"resumed": ck, "step": int(state.step)}))
     pc = open_token_cache(os.path.join(args.data_dir, "passages"))
     qc = open_token_cache(os.path.join(args.data_dir, "train-query"))
     dev_qc = open_token_cache(os.path.join(args.data_dir, "dev-query"))
     train_qrels = load_qrels(os.path.join(args.data_dir, "train-qrel.tsv"))
     positives = {q: max(d, key=d.get) for q, d in train_qrels.items()}
     dev_qrels = load_qrels(os.path.join(args.data_dir, "dev-qrel.tsv"))
-    return cfg, model, tx, state, pc, qc, dev_qc, positives, dev_qrels
+    return (cfg, model, tx, state, pc, qc, dev_qc, positives, dev_qrels,
+            mesh, device_put)
 
 
 def cmd_ance_mine(args):
@@ -431,9 +566,8 @@ def cmd_ance_mine(args):
         mine_loop,
     )
 
-    cfg, model, tx, state, pc, qc, dev_qc, positives, dev_qrels = _ance_setup(
-        args
-    )
+    (cfg, model, tx, state, pc, qc, dev_qc, positives, dev_qrels, mesh,
+     _device_put) = _ance_setup(args)
     mine_loop(
         model,
         checkpoint_params_loader(args.ckpt_dir, state),
@@ -445,6 +579,7 @@ def cmd_ance_mine(args):
         train_positives=positives,
         dev_query_cache=dev_qc,
         dev_qrels=dev_qrels,
+        mesh=mesh,
         cfg=MineConfig(
             topk_training=cfg.topk_training,
             negative_sample=cfg.negative_sample,
@@ -462,9 +597,8 @@ def cmd_ance_train(args):
     from cocodr_tpu.pipelines.ance import train_loop
     from cocodr_tpu.pipelines.train_step import TrainStepConfig, build_train_step
 
-    cfg, model, tx, state, pc, qc, dev_qc, positives, dev_qrels = _ance_setup(
-        args
-    )
+    (cfg, model, tx, state, pc, qc, dev_qc, positives, dev_qrels, mesh,
+     device_put) = _ance_setup(args)
     step = build_train_step(
         model,
         tx,
@@ -475,6 +609,7 @@ def cmd_ance_train(args):
             max_grad_norm=cfg.optimizer.max_grad_norm,
         ),
     )
+    logger = _metrics_logger(args)
     train_loop(
         state,
         step,
@@ -490,7 +625,14 @@ def cmd_ance_train(args):
             if s % 100 == 0
             else None
         ),
+        resume=not args.no_resume,
+        dropout_seed=None if args.no_dropout else args.seed,
+        metrics_logger=logger,
+        group_result_dir=args.result_dir,
+        device_put=device_put,
     )
+    if logger:
+        logger.close()
 
 
 def cmd_export_hf(args):
@@ -533,6 +675,10 @@ def main(argv=None):
     sp.add_argument("--query-len", type=int, default=0)
     sp.add_argument("--doc-len", type=int, default=0)
     sp.add_argument("--exact-fp32", action="store_true")
+    sp.add_argument("--result-dir", default=None,
+                    help="write ann_ndcg_group_{task}_{n} for the ANCE "
+                         "trainer's per-task TB curves")
+    sp.add_argument("--result-num", type=int, default=0)
     sp.set_defaults(fn=cmd_eval_beir)
 
     sp = sub.add_parser("preprocess-msmarco")
@@ -566,6 +712,8 @@ def main(argv=None):
     sp.add_argument("--max-steps", type=int, default=0)
     sp.add_argument("--eval-data-dir", default=None)
     sp.add_argument("--eval-every", type=int, default=0)
+    sp.add_argument("--no-dropout", action="store_true")
+    sp.add_argument("--seed", type=int, default=0)
     sp.set_defaults(fn=cmd_warmup)
 
     sp = sub.add_parser("ance")
@@ -576,6 +724,11 @@ def main(argv=None):
     sp.add_argument("--rounds", type=int, default=10)
     sp.add_argument("--steps-per-round", type=int, default=5000)
     sp.add_argument("--batch-size", type=int, default=0)
+    sp.add_argument("--no-resume", action="store_true")
+    sp.add_argument("--rewarmup", action="store_true",
+                    help="episode-rewarmup LR schedule (re-warm per round)")
+    sp.add_argument("--no-dropout", action="store_true")
+    sp.add_argument("--seed", type=int, default=0)
     sp.set_defaults(fn=cmd_ance)
 
     for name, fn in (("ance-mine", cmd_ance_mine), ("ance-train", cmd_ance_train)):
@@ -588,6 +741,12 @@ def main(argv=None):
         sp.add_argument("--poll-secs", type=float, default=60.0)
         sp.add_argument("--batch-size", type=int, default=0)
         sp.add_argument("--steps-per-round", type=int, default=5000)
+        sp.add_argument("--no-resume", action="store_true")
+        sp.add_argument("--rewarmup", action="store_true")
+        sp.add_argument("--no-dropout", action="store_true")
+        sp.add_argument("--seed", type=int, default=0)
+        sp.add_argument("--result-dir", default=None,
+                        help="per-BEIR-task group result dir for TB curves")
         sp.set_defaults(fn=fn)
 
     sp = sub.add_parser("export-hf")

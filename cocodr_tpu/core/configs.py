@@ -21,7 +21,12 @@ class OptimizerConfig:
     lr: float = 1e-4
     warmup_steps: int = 1000
     total_steps: int = 100_000
-    schedule: str = "linear"  # 'linear' | 'cosine'
+    schedule: str = "linear"  # 'linear' | 'cosine' | 'episode-rewarmup'
+    # episode-rewarmup: LR re-warms at each ANCE episode boundary while the
+    # base LR decays with overall progress to a floor (reference
+    # ANCE/drivers/run_ann.py:120-125 decay + :248-266 optional re-warmup)
+    episode_steps: int = 0  # steps per ANCE episode (required for rewarmup)
+    lr_floor: float = 0.2
     weight_decay: float = 0.0
     eps: float = 1e-6
     max_grad_norm: float = 1.0
@@ -35,10 +40,21 @@ class OptimizerConfig:
         import optax
 
         from cocodr_tpu.optim import lamb, warmup_cosine, warmup_linear
+        from cocodr_tpu.optim.schedules import episode_rewarmup
 
-        sched = (warmup_linear if self.schedule == "linear" else warmup_cosine)(
-            self.lr, self.warmup_steps, self.total_steps
-        )
+        if self.schedule == "episode-rewarmup":
+            assert self.episode_steps > 0, "episode-rewarmup needs episode_steps"
+            sched = episode_rewarmup(
+                self.lr,
+                self.warmup_steps,
+                self.episode_steps,
+                self.total_steps,
+                floor=self.lr_floor,
+            )
+        else:
+            sched = (
+                warmup_linear if self.schedule == "linear" else warmup_cosine
+            )(self.lr, self.warmup_steps, self.total_steps)
         if self.name == "lamb":
             tx = lamb(sched, eps=self.eps, weight_decay=self.weight_decay)
         elif self.name == "adamw":

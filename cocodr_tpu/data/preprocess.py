@@ -126,16 +126,27 @@ def rewrite_qrels(
 
 # ---------------------------------------------------------------------------
 # BEIR
-_ROBUST04_CLEAN = re.compile(r"\s+")
+
+# robust04 character cleanup (reference evaluate/data/beir_data.py:282-284
+# for docs, :322-324 for queries — the query variant drops '='). Applied
+# before lowercasing, then whitespace-collapsed, exactly like the reference.
+_ROBUST04_DOC_KEEP = re.compile(r"[^A-Za-z0-9=(),!?'`]")
+_ROBUST04_QUERY_KEEP = re.compile(r"[^A-Za-z0-9(),!?'`]")
+
+
+def _robust04_clean(text: str, pattern: re.Pattern) -> str:
+    return " ".join(pattern.sub(" ", text).split())
 
 
 def _beir_doc_text(doc: dict, clean: bool = False) -> str:
     title = (doc.get("title") or "").rstrip()
     text = (doc.get("text") or "").rstrip()
-    full = (title + " " + text).lower() if title else text.lower()
+    if title:
+        # titled docs are never cleaned, even for robust04 (beir_data.py:279)
+        return (title + " " + text).lower()
     if clean:
-        full = _ROBUST04_CLEAN.sub(" ", full)
-    return full
+        return _robust04_clean(doc.get("text") or "", _ROBUST04_DOC_KEEP).lower()
+    return text.lower()
 
 
 def tokenize_beir_corpus(
@@ -165,6 +176,7 @@ def tokenize_beir_queries(
     tokenizer,
     max_len: int,
     keep: Optional[set] = None,
+    clean: bool = False,
 ) -> Dict[str, int]:
     qid2offset: Dict[str, int] = {}
     with RecordWriter(out_path, max_len) as w, open(
@@ -175,8 +187,11 @@ def tokenize_beir_queries(
             qid = str(q["_id"])
             if keep is not None and qid not in keep:
                 continue
+            text = q["text"]
+            if clean:
+                text = _robust04_clean(text, _ROBUST04_QUERY_KEEP)
             qid2offset[qid] = w.write(
-                _encode(tokenizer, q["text"].lower(), max_len)
+                _encode(tokenizer, text.rstrip().lower(), max_len)
             )
     save_id_map(qid2offset, out_path + ".qid2offset.pickle")
     return qid2offset

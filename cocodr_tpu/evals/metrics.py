@@ -100,6 +100,11 @@ def evaluate_run(
         out[f"hole_rate_{k}"] = (
             sum(hole_rate_at_k(run[q], qrels[q], k) for q in qids) / n
         )
+    # full-depth hole rate over the whole ranked list (the reference reports
+    # both @10 and full, evaluate/evaluation/evaluate_beir.py:136-141)
+    out["hole_rate_full"] = (
+        sum(hole_rate_at_k(run[q], qrels[q], len(run[q])) for q in qids) / n
+    )
     out["num_queries"] = float(n)
     return out
 

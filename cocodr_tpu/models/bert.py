@@ -9,8 +9,10 @@ COCO/modeling.py:34-131). Design points:
 - layers are stacked with `nn.scan` (single compiled layer body, weights with
   a leading `layer` axis) — fast compile for 12/24-layer towers, and the
   stacked layout makes last-k-layer selection for iDRO a simple slice.
-- all hidden states are returned (Condenser consumes `hidden_states[skip_from]`,
-  reference COCO/modeling.py:70-73).
+- hidden-state collection is opt-in (`output_hidden_states=True`, HF-style):
+  Condenser consumes `hidden_states[skip_from]` (reference
+  COCO/modeling.py:70-73); retrieval encode/train paths skip the [L+1,B,S,H]
+  stack entirely — it is pure HBM traffic on the hottest op otherwise.
 - params in fp32, compute in a configurable dtype (bf16 on TPU); attention
   softmax and LayerNorm statistics accumulate in fp32.
 """
@@ -270,7 +272,8 @@ class BertEncoder(nn.Module):
     cfg: BertConfig
 
     @nn.compact
-    def __call__(self, h, attn_bias, *, deterministic):
+    def __call__(self, h, attn_bias, *, deterministic,
+                 output_hidden_states: bool = False):
         cfg = self.cfg
 
         class Body(nn.Module):
@@ -281,7 +284,11 @@ class BertEncoder(nn.Module):
                 out = BertLayer(self.cfg, name="layer")(
                     carry, attn_bias, deterministic=deterministic
                 )
-                return out, out
+                # collecting every layer's output costs a [L, B, S, H] HBM
+                # buffer per forward; only Condenser-style consumers ask for
+                # it (HF: output_hidden_states) — retrieval encode/train
+                # paths keep just the carry
+                return out, (out if output_hidden_states else None)
 
         body = Body
         if cfg.remat:
@@ -298,6 +305,8 @@ class BertEncoder(nn.Module):
             metadata_params={nn.PARTITION_NAME: "layer"},
         )(cfg, name="layers")
         last, all_h = stack(h, None)
+        if not output_hidden_states:
+            return last, None
         # hidden_states: (embeddings, layer1, ..., layerN) like HF
         hidden_states = jnp.concatenate(
             [h[None], all_h], axis=0
@@ -340,6 +349,7 @@ class BertModel(nn.Module):
         token_type_ids=None,
         position_ids=None,
         deterministic: bool = True,
+        output_hidden_states: bool = False,
     ):
         B, S = input_ids.shape
         if S > self.cfg.max_position_embeddings:
@@ -368,7 +378,8 @@ class BertModel(nn.Module):
         )
         attn_bias = make_attention_bias(attention_mask)
         last, hidden_states = self.encoder(
-            h, attn_bias, deterministic=deterministic
+            h, attn_bias, deterministic=deterministic,
+            output_hidden_states=output_hidden_states,
         )
         pooled = self.pooler(last) if self.with_pooler else None
         return last, hidden_states, pooled

@@ -72,7 +72,8 @@ class CondenserForPretraining(nn.Module):
 
     def encode(self, input_ids, attention_mask, deterministic=True):
         last, hidden_states, _ = self.bert(
-            input_ids, attention_mask, deterministic=deterministic
+            input_ids, attention_mask, deterministic=deterministic,
+            output_hidden_states=True,
         )
         return last, hidden_states
 

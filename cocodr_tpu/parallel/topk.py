@@ -33,14 +33,94 @@ def distributed_topk(local_vals, local_ids, k: int, axis_name: str):
 
 
 def sharded_mips_topk(queries, corpus_shard, shard_offset, k, axis_name,
-                      tile=16384, approx=False, exact_fp32=False):
+                      tile=16384, approx=False, exact_fp32=False,
+                      n_valid=None):
     """Per-device body: local exact MIPS over this device's corpus shard,
-    ids lifted to global space, then cross-shard merge."""
+    ids lifted to global space, then cross-shard merge.
+
+    n_valid: number of real rows in this shard (rows >= n_valid are padding
+    added to equalize shard sizes; their hits are masked out)."""
     from cocodr_tpu.ops.mips import mips_topk
 
     vals, ids = mips_topk(
         queries, corpus_shard, k, tile=tile, approx=approx,
         exact_fp32=exact_fp32,
     )
+    if n_valid is not None:
+        pad_hit = ids >= n_valid
+        vals = jnp.where(pad_hit, -jnp.inf, vals)
+        ids = jnp.where(pad_hit, -1, ids)
     ids = jnp.where(ids >= 0, ids + shard_offset, ids)
     return distributed_topk(vals, ids, k, axis_name)
+
+
+def mips_topk_sharded(queries, corpus, k: int, mesh, q_chunk: int = 4096,
+                      tile: int = 16384, exact_fp32: bool = False):
+    """Host-level sharded exact search: corpus rows sharded over the mesh
+    data axis, per-shard top-k, cross-shard merge on device. The TPU-native
+    replacement for the reference's per-rank FAISS + pickled merge
+    (ANCE/utils/eval_mrr.py:231-261). Returns host (vals [Q,k], ids [Q,k]).
+    """
+    import numpy as np
+    from jax import shard_map
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from cocodr_tpu.core.mesh import DATA_AXIS
+
+    n_data = mesh.shape[DATA_AXIS]
+    N = corpus.shape[0]
+    k = min(k, N)
+    pad = (-N) % n_data
+    if pad:
+        corpus = np.concatenate(
+            [corpus, np.repeat(corpus[-1:], pad, axis=0)]
+        )
+    shard = corpus.shape[0] // n_data
+    corpus_dev = jax.device_put(
+        jnp.asarray(corpus), NamedSharding(mesh, P(DATA_AXIS))
+    )
+
+    def search(q, c):
+        idx = jax.lax.axis_index(DATA_AXIS)
+        off = idx * shard
+        # only the final shard carries padding rows
+        n_valid = jnp.where(idx == n_data - 1, shard - pad, shard)
+        return sharded_mips_topk(
+            q, c, off, k, DATA_AXIS, tile=min(tile, shard),
+            exact_fp32=exact_fp32, n_valid=n_valid,
+        )
+
+    f = jax.jit(
+        shard_map(
+            search,
+            mesh=mesh,
+            in_specs=(P(), P(DATA_AXIS)),
+            out_specs=(P(), P()),
+        )
+    )
+    out_v, out_i = [], []
+    for s in range(0, queries.shape[0], q_chunk):
+        v, i = f(jnp.asarray(queries[s : s + q_chunk]), corpus_dev)
+        out_v.append(np.asarray(v))
+        out_i.append(np.asarray(i))
+    return np.concatenate(out_v), np.concatenate(out_i)
+
+
+def search_topk(queries, corpus, k: int, mesh=None, q_chunk: int = 4096,
+                tile: int = 16384, exact_fp32: bool = False,
+                method: str = "auto"):
+    """Mesh-aware search dispatch for the mining/eval pipelines: sharded
+    cross-device search when a >1-device data mesh is given, single-device
+    (pallas on TPU) otherwise."""
+    from cocodr_tpu.core.mesh import DATA_AXIS
+    from cocodr_tpu.ops.mips import mips_topk_chunked_queries
+
+    if mesh is not None and mesh.shape[DATA_AXIS] > 1:
+        return mips_topk_sharded(
+            queries, corpus, k, mesh, q_chunk=q_chunk, tile=tile,
+            exact_fp32=exact_fp32,
+        )
+    return mips_topk_chunked_queries(
+        queries, corpus, k, q_chunk=q_chunk, tile=tile,
+        exact_fp32=exact_fp32, method=method,
+    )

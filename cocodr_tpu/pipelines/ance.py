@@ -33,7 +33,7 @@ import numpy as np
 
 from cocodr_tpu.evals.metrics import evaluate_run, run_from_topk
 from cocodr_tpu.ops.kmeans import kmeans
-from cocodr_tpu.ops.mips import mips_topk_chunked_queries
+from cocodr_tpu.parallel.topk import search_topk
 from cocodr_tpu.pipelines.encode import EncodeConfig, Encoder, encode_cache
 
 
@@ -45,7 +45,9 @@ class MineConfig:
     n_splits: int = 5  # negative slices per ann file (data_gen.py:408-423)
     cluster_query: bool = False  # k-means groups for iDRO
     cluster_centroids: int = 50
-    kmeans_iters: int = 100
+    # faiss.Kmeans defaults in the reference: niter=500, nredo=5
+    # (ANCE/drivers/run_ann_data_gen.py:343-352); lower iters is a speed knob
+    kmeans_iters: int = 500
     kmeans_redo: int = 5
     dev_topk: int = 100
     batch_size: int = 512
@@ -227,9 +229,10 @@ def mine(
     # dev eval at this checkpoint (data_gen.py:306-319)
     dev_emb = encode_cache(q_enc, dev_query_cache, ecfg)
     k = min(cfg.dev_topk, corpus_emb.shape[0])
-    _, dev_top = mips_topk_chunked_queries(
-        dev_emb, corpus_emb, k, q_chunk=cfg.q_chunk, tile=cfg.mips_tile,
-        exact_fp32=cfg.exact_fp32, method=cfg.search_method,
+    _, dev_top = search_topk(
+        dev_emb, corpus_emb, k, mesh=mesh, q_chunk=cfg.q_chunk,
+        tile=cfg.mips_tile, exact_fp32=cfg.exact_fp32,
+        method=cfg.search_method,
     )
     dev_top = rows_to_docs(dev_top)
     dev_run = run_from_topk(
@@ -252,9 +255,10 @@ def mine(
         q_enc, train_query_cache, ecfg, indices=query_ids
     )
     kt = min(cfg.topk_training, corpus_emb.shape[0])
-    _, train_top = mips_topk_chunked_queries(
-        train_emb, corpus_emb, kt, q_chunk=cfg.q_chunk, tile=cfg.mips_tile,
-        exact_fp32=cfg.exact_fp32, method=cfg.search_method,
+    _, train_top = search_topk(
+        train_emb, corpus_emb, kt, mesh=mesh, q_chunk=cfg.q_chunk,
+        tile=cfg.mips_tile, exact_fp32=cfg.exact_fp32,
+        method=cfg.search_method,
     )
     negatives, mrr_scores = generate_negatives(
         rows_to_docs(train_top), query_ids, train_positives, cfg, rng
@@ -311,10 +315,19 @@ def train_on_ann_file(
     seed: int = 0,
     device_put: Callable = None,
     metrics_cb: Optional[Callable] = None,
+    dropout_seed: Optional[int] = 0,
 ):
-    """Consume one ann file (reference run_ann.py:240-356)."""
+    """Consume one ann file (reference run_ann.py:240-356).
+
+    dropout_seed: trains with dropout active, per-step keys folded from the
+    global step so resume reproduces the draws (the reference trains ANCE
+    with HF-default dropout 0.1, ANCE/model/models.py:194-232). None trains
+    deterministically. Batch collation runs prefetch-deep on a background
+    thread so the device never waits on the token-cache gather."""
+    import jax
     import jax.numpy as jnp
 
+    from cocodr_tpu.data.prefetch import prefetch
     from cocodr_tpu.data.streams import (
         shuffled_ann_lines,
         triplets_from_ann_lines,
@@ -323,8 +336,16 @@ def train_on_ann_file(
     with open(ann_file) as f:
         lines = f.readlines()
     lines = shuffled_ann_lines(lines, seed)
+    dropout_key = (
+        jax.random.PRNGKey(dropout_seed) if dropout_seed is not None else None
+    )
     steps = 0
-    for tb in batcher.batches(triplets_from_ann_lines(lines), batch_size):
+    step_no = int(state.step)
+    for tb in prefetch(
+        batcher.batches(triplets_from_ann_lines(lines), batch_size),
+        depth=2,
+        device_put=False,
+    ):
         batch = {
             "q_ids": jnp.asarray(tb.query_ids),
             "q_mask": jnp.asarray(tb.query_mask),
@@ -337,10 +358,16 @@ def train_on_ann_file(
         }
         if device_put is not None:
             batch = device_put(batch)
-        state, metrics = train_step(state, batch)
+        if dropout_key is not None:
+            state, metrics = train_step(
+                state, batch, jax.random.fold_in(dropout_key, step_no)
+            )
+        else:
+            state, metrics = train_step(state, batch)
         steps += 1
+        step_no = int(state.step)
         if metrics_cb:
-            metrics_cb(int(state.step), metrics)
+            metrics_cb(step_no, metrics)
         if max_steps and steps >= max_steps:
             break
     return state, steps
@@ -363,6 +390,8 @@ def ance_round(
     steps_per_round: int,
     mesh=None,
     metrics_cb=None,
+    dropout_seed: Optional[int] = 0,
+    device_put: Callable = None,
 ):
     """Time-multiplexed ANCE: mine with current params -> train on the fresh
     negatives. One TPU slice, no polling, same staleness semantics (the
@@ -390,6 +419,8 @@ def ance_round(
         max_steps=steps_per_round,
         seed=round_idx,
         metrics_cb=metrics_cb,
+        dropout_seed=dropout_seed,
+        device_put=device_put,
     )
     return state, dev_metrics, steps
 
@@ -412,6 +443,38 @@ def checkpoint_params_loader(ckpt_dir: str, template_state):
     return load
 
 
+def _progress_path(ckpt_dir: str) -> str:
+    return os.path.join(ckpt_dir, "ann_progress.json")
+
+
+def _read_progress(ckpt_dir: str) -> int:
+    try:
+        with open(_progress_path(ckpt_dir)) as f:
+            return int(json.load(f)["last_ann"])
+    except (OSError, ValueError, KeyError):
+        return -1
+
+
+def _write_progress(ckpt_dir: str, last_ann: int):
+    tmp = _progress_path(ckpt_dir) + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump({"last_ann": last_ann}, f)
+    os.replace(tmp, _progress_path(ckpt_dir))
+
+
+def write_group_ndcg(result_dir: str, task: str, n: int, ndcg: float,
+                     checkpoint: str = ""):
+    """Per-BEIR-task group result file `ann_ndcg_group_{task}_{n}` — the
+    writer half of the protocol whose reader is
+    utils.misc.read_group_results (reference ANCE/drivers/run_ann.py:270-284
+    reads these; the reference never shipped the writer)."""
+    os.makedirs(result_dir, exist_ok=True)
+    path = os.path.join(result_dir, f"ann_ndcg_group_{task}_{n}")
+    with open(path + ".tmp", "w") as f:
+        json.dump({"ndcg": ndcg, "checkpoint": checkpoint}, f)
+    os.replace(path + ".tmp", path)
+
+
 def train_loop(
     state,
     train_step: Callable,
@@ -424,19 +487,51 @@ def train_loop(
     max_ann_files: Optional[int] = None,
     steps_per_file: Optional[int] = None,
     metrics_cb: Optional[Callable] = None,
+    resume: bool = True,
+    dropout_seed: Optional[int] = 0,
+    metrics_logger=None,
+    group_result_dir: Optional[str] = None,
+    device_put: Callable = None,
 ):
     """Async consumer: poll for new ann files, train on each, checkpoint
-    (reference ANCE/drivers/run_ann.py:220-285 polling + :376-403 saves)."""
-    from cocodr_tpu.utils.train_state import save_checkpoint
+    (reference ANCE/drivers/run_ann.py:220-285 polling + :376-403 saves).
+
+    resume: restore the latest DONE checkpoint (params + optimizer + DRO
+    state, reference run_ann.py:150-159,998-1002) and skip ann files already
+    consumed (recorded in ann_progress.json). metrics_logger: a
+    utils.logging.MetricsLogger; the mined dev nDCG/MRR are logged keyed to
+    the step at which the file is consumed, plus per-BEIR-task group curves
+    read from group_result_dir (reference run_ann.py:270-284)."""
+    from cocodr_tpu.utils.train_state import (
+        latest_checkpoint,
+        load_checkpoint,
+        save_checkpoint,
+    )
 
     seen = -1
+    if resume:
+        ck = latest_checkpoint(ckpt_dir)
+        if ck:
+            state = load_checkpoint(ck, state)
+            seen = _read_progress(ckpt_dir)
     consumed = 0
     while max_ann_files is None or consumed < max_ann_files:
-        n, data_path, _meta = get_latest_ann_data(ann_dir)
+        n, data_path, meta = get_latest_ann_data(ann_dir)
         if n <= seen:
             time.sleep(poll_secs)
             continue
         seen = n
+        if metrics_logger is not None and meta:
+            mined = {
+                "dev_ndcg": meta.get("ndcg", 0.0),
+                "dev_mrr": meta.get("mrr", 0.0),
+            }
+            if group_result_dir:
+                from cocodr_tpu.utils.misc import read_group_results
+
+                for name, res in read_group_results(group_result_dir).items():
+                    mined[f"ann_ndcg_group_{name}"] = res.get("ndcg", 0.0)
+            metrics_logger.log(int(state.step), mined, prefix="ance/")
         state, steps = train_on_ann_file(
             state,
             train_step,
@@ -446,8 +541,15 @@ def train_loop(
             max_steps=steps_per_file,
             seed=n,
             metrics_cb=metrics_cb,
+            dropout_seed=dropout_seed,
+            device_put=device_put,
         )
+        if metrics_logger is not None:
+            metrics_logger.log(
+                int(state.step), {"ann_file": n, "steps": steps}, prefix="ance/"
+            )
         save_checkpoint(ckpt_dir, state, keep=3)
+        _write_progress(ckpt_dir, n)
         consumed += 1
     return state
 

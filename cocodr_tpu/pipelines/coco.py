@@ -116,9 +116,21 @@ def build_coco_train_step(model, tx, cfg: CocoConfig) -> Callable:
         )(cls.astype(jnp.float32))
         cls_grads = cls_grads.reshape(n_chunks, C, -1)
 
-        # pass 2: re-forward per chunk with the surrogate, accumulate grads
+        # pass 2: re-forward per chunk with the surrogate, accumulate grads.
+        # MLM is accumulated token-weighted: each chunk contributes
+        # chunk_mean * (chunk_masked / total_masked), so the sum equals the
+        # full-batch token-weighted MLM mean (and its gradient) even when
+        # chunks carry unequal masked-token counts.
+        total_masked = jnp.maximum(
+            1.0, jnp.sum(batch["labels"] != -100).astype(jnp.float32)
+        )
+
         def chunk_grads(carry, args):
             ch, r, cg = args
+            w = (
+                jnp.sum(ch["labels"] != -100).astype(jnp.float32)
+                / total_masked
+            )
 
             def loss_fn(p):
                 mlm_loss, aux = model.apply(
@@ -130,15 +142,15 @@ def build_coco_train_step(model, tx, cfg: CocoConfig) -> Callable:
                     rngs={"dropout": r},
                 )
                 surrogate = jnp.vdot(cg, aux["cls"].astype(jnp.float32))
-                return mlm_loss / n_chunks + surrogate, mlm_loss
+                return mlm_loss * w + surrogate, mlm_loss * w
 
-            (val, mlm_loss), g = jax.value_and_grad(loss_fn, has_aux=True)(
+            (val, mlm_piece), g = jax.value_and_grad(loss_fn, has_aux=True)(
                 state.params
             )
             acc_g, acc_mlm = carry
             return (
                 jax.tree_util.tree_map(jnp.add, acc_g, g),
-                acc_mlm + mlm_loss / n_chunks,
+                acc_mlm + mlm_piece,
             ), None
 
         zero = jax.tree_util.tree_map(jnp.zeros_like, state.params)

@@ -42,29 +42,30 @@ class Encoder:
         self.mesh = mesh
         method = model.query_emb if is_query else model.body_emb
 
-        if noise_level > 0.0:
+        self._noise = noise_level > 0.0
+        # fresh noise per batch: a host-side counter folded into the key
+        # (the reference samples new noise every forward,
+        # evaluate/model/models.py:81-89 — a fixed key would reuse one draw)
+        self._noise_key = jax.random.PRNGKey(noise_seed)
+        self._batch_no = 0
+        if self._noise:
             from cocodr_tpu.utils.misc import add_embedding_noise
 
-            def fn(p, ids, mask):
+            def fn(p, ids, mask, key):
                 emb = model.apply({"params": p}, ids, mask, method=method)
-                return add_embedding_noise(
-                    emb, jax.random.PRNGKey(noise_seed), noise_level
-                )
+                return add_embedding_noise(emb, key, noise_level)
         else:
             def fn(p, ids, mask):
                 return model.apply({"params": p}, ids, mask, method=method)
 
         if mesh is not None:
+            repl = NamedSharding(mesh, P())
+            dsh = NamedSharding(mesh, P(DATA_AXIS))
+            in_sh = (repl, dsh, dsh) + ((repl,) if self._noise else ())
             self._fn = jax.jit(
-                fn,
-                in_shardings=(
-                    NamedSharding(mesh, P()),
-                    NamedSharding(mesh, P(DATA_AXIS)),
-                    NamedSharding(mesh, P(DATA_AXIS)),
-                ),
-                out_shardings=NamedSharding(mesh, P(DATA_AXIS)),
+                fn, in_shardings=in_sh, out_shardings=dsh
             )
-            self.params = jax.device_put(params, NamedSharding(mesh, P()))
+            self.params = jax.device_put(params, repl)
         else:
             self._fn = jax.jit(fn)
             self.params = jax.device_put(params)
@@ -78,6 +79,10 @@ class Encoder:
         if self._batch_sharding is not None:
             ids = jax.device_put(ids, self._batch_sharding)
             mask = jax.device_put(mask, self._batch_sharding)
+        if self._noise:
+            key = jax.random.fold_in(self._noise_key, self._batch_no)
+            self._batch_no += 1
+            return self._fn(self.params, ids, mask, key)
         return self._fn(self.params, ids, mask)
 
 

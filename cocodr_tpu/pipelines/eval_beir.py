@@ -24,7 +24,7 @@ from cocodr_tpu.data.preprocess import (
     tokenize_beir_queries,
 )
 from cocodr_tpu.evals.metrics import evaluate_run, run_from_topk
-from cocodr_tpu.ops.mips import mips_topk_chunked_queries
+from cocodr_tpu.parallel.topk import search_topk
 from cocodr_tpu.pipelines.encode import EncodeConfig, Encoder, encode_cache
 
 # Reference lengths: evaluate/README.md + evaluate_beir.py:62
@@ -85,6 +85,7 @@ def prepare_beir_task(
             tokenizer,
             cfg.query_len,
             keep=set(qrels),
+            clean=cfg.task == "robust04",
         )
     else:
         from cocodr_tpu.data.records import load_id_map
@@ -128,9 +129,9 @@ def evaluate_beir_task(
     query_emb = encode_cache(query_encoder, query_cache, ecfg)
 
     k = min(cfg.top_k, corpus_emb.shape[0])
-    _, top_ids = mips_topk_chunked_queries(
-        query_emb, corpus_emb, k, q_chunk=cfg.q_chunk, tile=cfg.mips_tile,
-        exact_fp32=cfg.exact_fp32,
+    _, top_ids = search_topk(
+        query_emb, corpus_emb, k, mesh=mesh, q_chunk=cfg.q_chunk,
+        tile=cfg.mips_tile, exact_fp32=cfg.exact_fp32,
     )
     if row2doc is not None:
         top_ids = np.where(top_ids >= 0, row2doc[top_ids], -1)

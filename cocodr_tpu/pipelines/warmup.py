@@ -94,9 +94,17 @@ def run_warmup(
     eval_fn: Optional[Callable] = None,
     log_fn: Optional[Callable] = None,
     resume: bool = True,
+    dropout_seed: Optional[int] = 0,
+    device_put: Optional[Callable] = None,
 ):
     """Returns the final TrainState. eval_fn(state) -> dict is called every
-    cfg.eval_every_steps; log_fn(step, metrics) every cfg.log_every."""
+    cfg.eval_every_steps; log_fn(step, metrics) every cfg.log_every.
+
+    dropout_seed: trains with dropout active (per-step key folded from the
+    seed and the global step, so resume reproduces the same draws) — the
+    reference finetunes with HF-default dropout 0.1
+    (ANCE/model/models.py:194-232). None trains deterministically."""
+    import jax
     import jax.numpy as jnp
 
     os.makedirs(ckpt_dir, exist_ok=True)
@@ -106,36 +114,51 @@ def run_warmup(
             state = load_checkpoint(ck, state)
 
     batcher = TripleTextBatcher(tokenizer, cfg.max_seq_len)
-    done = False
+    dropout_key = (
+        jax.random.PRNGKey(dropout_seed) if dropout_seed is not None else None
+    )
     # deterministic resume: fast-forward the batches the restored step
     # already consumed (reference warmup driver :195-198)
     skip = int(state.step)
-    for epoch in range(cfg.num_epochs):
-        if done:
-            break
+    step = int(state.step)
+
+    def collate_stream():
         buf = []
-        for triple in stream_triples(triples_path):
-            buf.append(triple)
-            if len(buf) < cfg.batch_size:
-                continue
-            if skip > 0:
-                skip -= 1
-                buf = []
-                continue
-            batch = {
-                k: jnp.asarray(v) for k, v in batcher.collate(buf).items()
-            }
-            buf = []
+        for epoch in range(cfg.num_epochs):
+            for triple in stream_triples(triples_path):
+                buf.append(triple)
+                if len(buf) < cfg.batch_size:
+                    continue
+                triples, buf = buf, []
+                yield epoch, batcher.collate(triples)
+
+    # tokenization runs prefetch-deep on a background thread so the device
+    # never waits on the HF tokenizer (the reference tokenizes offline; our
+    # raw-text path must not serialize tokenize->step)
+    from cocodr_tpu.data.prefetch import prefetch
+
+    for _epoch, arrays in prefetch(collate_stream(), depth=2,
+                                   device_put=False):
+        if skip > 0:
+            skip -= 1
+            continue
+        batch = {k: jnp.asarray(v) for k, v in arrays.items()}
+        if device_put is not None:
+            batch = device_put(batch)
+        if dropout_key is not None:
+            state, metrics = train_step(
+                state, batch, jax.random.fold_in(dropout_key, step)
+            )
+        else:
             state, metrics = train_step(state, batch)
-            step = int(state.step)
-            if log_fn and step % cfg.log_every == 0:
-                log_fn(step, {k: float(np.asarray(v)) for k, v in metrics.items()})
-            if cfg.save_steps and step % cfg.save_steps == 0:
-                save_checkpoint(ckpt_dir, state, keep=cfg.keep_checkpoints)
-            if eval_fn and cfg.eval_every_steps and step % cfg.eval_every_steps == 0:
-                eval_fn(state)
-            if cfg.max_steps and step >= cfg.max_steps:
-                done = True
-                break
+        step = int(state.step)
+        if log_fn and step % cfg.log_every == 0:
+            log_fn(step, {k: float(np.asarray(v)) for k, v in metrics.items()})
+        if cfg.save_steps and step % cfg.save_steps == 0:
+            save_checkpoint(ckpt_dir, state, keep=cfg.keep_checkpoints)
+        if eval_fn and cfg.eval_every_steps and step % cfg.eval_every_steps == 0:
+            eval_fn(state)
+        if cfg.max_steps and step >= cfg.max_steps:
+            break
     save_checkpoint(ckpt_dir, state, keep=cfg.keep_checkpoints)
     return state

@@ -65,6 +65,7 @@ def test_forward_matches_torch(torch_model):
         jnp.asarray(input_ids),
         jnp.asarray(mask),
         jnp.asarray(types),
+        output_hidden_states=True,
     )
     with torch.no_grad():
         out = torch_model(

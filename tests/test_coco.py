@@ -88,6 +88,10 @@ def test_grad_cache_matches_full_batch():
     ids = rng.randint(5, 100, size=(B, S)).astype(np.int32)
     mask = np.ones((B, S), np.int32)
     labels = np.where(rng.rand(B, S) < 0.3, ids, -100).astype(np.int32)
+    # make the chunks deliberately unbalanced: wipe most masks in chunk 2 so
+    # the token-weighted accumulation (not mean-of-chunk-means) is exercised
+    labels[4:, : S - 2] = -100
+    assert (labels[:4] != -100).sum() != (labels[4:] != -100).sum()
     batch = {
         "input_ids": jnp.asarray(ids),
         "attention_mask": jnp.asarray(mask),
@@ -120,7 +124,11 @@ def test_grad_cache_matches_full_batch():
     key = jax.random.PRNGKey(42)
     chunk_keys = jax.random.split(key, 2)
 
-    # reference grads: sum of per-chunk MLM means /2 + co over full batch.
+    # reference grads: token-weighted MLM over the full batch (each chunk
+    # mean scaled by its masked-token share) + co over the full batch —
+    # identical to computing the MLM mean over all masked tokens at once.
+    n_masked = (labels != -100).sum()
+
     def direct(p):
         total = 0.0
         cls_all = []
@@ -134,7 +142,8 @@ def test_grad_cache_matches_full_batch():
                 deterministic=False,
                 rngs={"dropout": ck},
             )
-            total = total + mlm / 2
+            w = (labels[sl] != -100).sum() / n_masked
+            total = total + mlm * w
             cls_all.append(aux["cls"].astype(jnp.float32))
         from cocodr_tpu.losses.contrastive import co_contrastive_loss
 
