@@ -215,6 +215,7 @@ def cmd_preprocess_msmarco(args):
         args.max_seq_length,
         lowercase=lowercase,
         data_type=args.data_type,
+        n_workers=args.n_workers,
     )
     for split, qfile, qrfile in (
         ("train", args.train_queries, args.train_qrels),
@@ -228,6 +229,7 @@ def cmd_preprocess_msmarco(args):
             tokenizer,
             args.max_query_length,
             lowercase=lowercase,
+            n_workers=args.n_workers,
         )
         if qrfile:
             rewrite_qrels(
@@ -247,7 +249,8 @@ def cmd_preprocess_beir(args):
     tokenizer = _load_tokenizer(args.tokenizer)
     cfg = BeirEvalConfig.for_task(args.task or os.path.basename(
         os.path.normpath(args.data_dir)))
-    prepare_beir_task(args.data_dir, args.out, tokenizer, cfg)
+    prepare_beir_task(args.data_dir, args.out, tokenizer, cfg,
+                      n_workers=args.n_workers)
     print(f"tokenized {args.data_dir} -> {args.out}")
 
 
@@ -693,6 +696,9 @@ def main(argv=None):
     sp.add_argument("--data-type", type=int, default=1)
     sp.add_argument("--max-seq-length", type=int, default=128)
     sp.add_argument("--max-query-length", type=int, default=64)
+    sp.add_argument("--n-workers", type=int, default=1,
+                    help="parallel tokenizer processes (reference uses 32, "
+                    "ANCE/utils/util.py:420-436); output is byte-identical")
     sp.set_defaults(fn=cmd_preprocess_msmarco)
 
     sp = sub.add_parser("preprocess-beir")
@@ -700,6 +706,7 @@ def main(argv=None):
     sp.add_argument("--out", required=True)
     sp.add_argument("--tokenizer", required=True)
     sp.add_argument("--task", default=None)
+    sp.add_argument("--n-workers", type=int, default=1)
     sp.set_defaults(fn=cmd_preprocess_beir)
 
     sp = sub.add_parser("warmup")

@@ -21,7 +21,7 @@ class OptimizerConfig:
     lr: float = 1e-4
     warmup_steps: int = 1000
     total_steps: int = 100_000
-    schedule: str = "linear"  # 'linear' | 'cosine' | 'episode-rewarmup'
+    schedule: str = "linear"  # 'linear'|'cosine'|'episode-rewarmup'|'episode-decay'
     # episode-rewarmup: LR re-warms at each ANCE episode boundary while the
     # base LR decays with overall progress to a floor (reference
     # ANCE/drivers/run_ann.py:120-125 decay + :248-266 optional re-warmup)
@@ -40,9 +40,16 @@ class OptimizerConfig:
         import optax
 
         from cocodr_tpu.optim import lamb, warmup_cosine, warmup_linear
-        from cocodr_tpu.optim.schedules import episode_rewarmup
+        from cocodr_tpu.optim.schedules import episode_decay, episode_rewarmup
 
-        if self.schedule == "episode-rewarmup":
+        if self.schedule == "episode-decay":
+            sched = episode_decay(
+                self.lr,
+                self.warmup_steps,
+                self.total_steps,
+                floor=self.lr_floor,
+            )
+        elif self.schedule == "episode-rewarmup":
             assert self.episode_steps > 0, "episode-rewarmup needs episode_steps"
             sched = episode_rewarmup(
                 self.lr,

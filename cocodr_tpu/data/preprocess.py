@@ -41,6 +41,78 @@ def _encode(tokenizer, text: str, max_len: int):
     )
 
 
+# ---------------------------------------------------------------------------
+# Parallel tokenization (reference `multi_file_process`,
+# ANCE/utils/util.py:420-436 — 32-way process split). Records are fixed
+# width, so each worker writes a contiguous part file and the parent
+# concatenates them in order: the output is byte-identical to n_workers=1.
+# Text extraction/cleanup stays in the parent (it is I/O-cheap); only the
+# tokenizer hot loop fans out. Workers inherit the tokenizer by fork.
+
+_WORKER_STATE: dict = {}
+
+
+def _part_worker(job):
+    part_idx, part_path, texts = job
+    tokenizer = _WORKER_STATE["tokenizer"]
+    max_len = _WORKER_STATE["max_len"]
+    with RecordWriter(part_path, max_len) as w:
+        for t in texts:
+            w.write(_encode(tokenizer, t, max_len))
+    return part_idx, len(texts)
+
+
+def _write_records(texts, tokenizer, out_path: str, max_len: int,
+                   n_workers: int = 1) -> int:
+    """Tokenize `texts` (final strings, in order) into `out_path`.
+
+    Returns the record count; record i holds texts[i], so callers map
+    external ids by enumeration order exactly as in the serial path.
+    """
+    texts = list(texts)
+    if n_workers <= 1 or len(texts) < 2 * n_workers:
+        with RecordWriter(out_path, max_len) as w:
+            for t in texts:
+                w.write(_encode(tokenizer, t, max_len))
+        return len(texts)
+
+    import multiprocessing as mp
+
+    step = (len(texts) + n_workers - 1) // n_workers
+    jobs = [
+        (i, f"{out_path}.part{i}", texts[i * step:(i + 1) * step])
+        for i in range(n_workers)
+    ]
+    _WORKER_STATE["tokenizer"] = tokenizer
+    _WORKER_STATE["max_len"] = max_len
+    try:
+        ctx = mp.get_context("fork")
+        with ctx.Pool(n_workers) as pool:
+            pool.map(_part_worker, jobs)
+    finally:
+        _WORKER_STATE.clear()
+    total = 0
+    with open(out_path, "wb") as out:
+        for i, part_path, part_texts in jobs:
+            with open(part_path, "rb") as pf:
+                while True:
+                    block = pf.read(1 << 24)
+                    if not block:
+                        break
+                    out.write(block)
+            total += len(part_texts)
+            os.remove(part_path)
+            os.remove(part_path + "_meta")
+    meta = {
+        "type": "int32",
+        "total_number": total,
+        "embedding_size": max_len,
+    }
+    with open(out_path + "_meta", "w") as f:
+        json.dump(meta, f)
+    return total
+
+
 def _maybe_lower(text: str, lowercase: bool) -> str:
     return text.lower() if lowercase else text
 
@@ -52,12 +124,16 @@ def tokenize_msmarco_passages(
     max_len: int,
     lowercase: bool = False,
     data_type: int = 1,
+    n_workers: int = 1,
 ) -> Dict[int, int]:
-    """collection.tsv (pid \t text) or msmarco-docs.tsv -> records + pid2offset."""
-    pid2offset: Dict[int, int] = {}
-    with RecordWriter(out_path, max_len) as w, open(
-        collection_tsv, encoding="utf8"
-    ) as f:
+    """collection.tsv (pid \t text) or msmarco-docs.tsv -> records + pid2offset.
+
+    n_workers > 1 fans the tokenizer loop out over fork-based processes
+    (reference's 32-way multi_file_process, ANCE/utils/util.py:420-436);
+    output bytes are identical to the serial path.
+    """
+    pids, texts = [], []
+    with open(collection_tsv, encoding="utf8") as f:
         for line in f:
             arr = line.rstrip("\n").split("\t")
             if data_type == 0:
@@ -72,8 +148,10 @@ def tokenize_msmarco_passages(
             else:
                 pid = int(arr[0])
                 text = _maybe_lower(arr[1].rstrip(), lowercase)
-            text = text[:MAX_DOC_CHARACTER]
-            pid2offset[pid] = w.write(_encode(tokenizer, text, max_len))
+            pids.append(pid)
+            texts.append(text[:MAX_DOC_CHARACTER])
+    _write_records(texts, tokenizer, out_path, max_len, n_workers)
+    pid2offset = {pid: i for i, pid in enumerate(pids)}
     save_id_map(pid2offset, out_path + ".pid2offset.pickle")
     return pid2offset
 
@@ -84,16 +162,16 @@ def tokenize_queries(
     tokenizer,
     max_len: int,
     lowercase: bool = False,
+    n_workers: int = 1,
 ) -> Dict[int, int]:
-    qid2offset: Dict[int, int] = {}
-    with RecordWriter(out_path, max_len) as w, open(
-        queries_tsv, encoding="utf8"
-    ) as f:
+    qids, texts = [], []
+    with open(queries_tsv, encoding="utf8") as f:
         for line in f:
             arr = line.rstrip("\n").split("\t")
-            qid = int(arr[0])
-            text = _maybe_lower(arr[1].rstrip(), lowercase)
-            qid2offset[qid] = w.write(_encode(tokenizer, text, max_len))
+            qids.append(int(arr[0]))
+            texts.append(_maybe_lower(arr[1].rstrip(), lowercase))
+    _write_records(texts, tokenizer, out_path, max_len, n_workers)
+    qid2offset = {qid: i for i, qid in enumerate(qids)}
     save_id_map(qid2offset, out_path + ".qid2offset.pickle")
     return qid2offset
 
@@ -155,17 +233,17 @@ def tokenize_beir_corpus(
     tokenizer,
     max_len: int,
     clean: bool = False,
+    n_workers: int = 1,
 ) -> Dict[str, int]:
     """BEIR corpus.jsonl -> records + string-id map (pchar2pid equivalent)."""
-    docid2offset: Dict[str, int] = {}
-    with RecordWriter(out_path, max_len) as w, open(
-        corpus_jsonl, encoding="utf8"
-    ) as f:
+    docids, texts = [], []
+    with open(corpus_jsonl, encoding="utf8") as f:
         for line in f:
             doc = json.loads(line)
-            docid2offset[str(doc["_id"])] = w.write(
-                _encode(tokenizer, _beir_doc_text(doc, clean), max_len)
-            )
+            docids.append(str(doc["_id"]))
+            texts.append(_beir_doc_text(doc, clean))
+    _write_records(texts, tokenizer, out_path, max_len, n_workers)
+    docid2offset = {did: i for i, did in enumerate(docids)}
     save_id_map(docid2offset, out_path + ".docid2offset.pickle")
     return docid2offset
 
@@ -177,11 +255,10 @@ def tokenize_beir_queries(
     max_len: int,
     keep: Optional[set] = None,
     clean: bool = False,
+    n_workers: int = 1,
 ) -> Dict[str, int]:
-    qid2offset: Dict[str, int] = {}
-    with RecordWriter(out_path, max_len) as w, open(
-        queries_jsonl, encoding="utf8"
-    ) as f:
+    qids, texts = [], []
+    with open(queries_jsonl, encoding="utf8") as f:
         for line in f:
             q = json.loads(line)
             qid = str(q["_id"])
@@ -190,9 +267,10 @@ def tokenize_beir_queries(
             text = q["text"]
             if clean:
                 text = _robust04_clean(text, _ROBUST04_QUERY_KEEP)
-            qid2offset[qid] = w.write(
-                _encode(tokenizer, text.rstrip().lower(), max_len)
-            )
+            qids.append(qid)
+            texts.append(text.rstrip().lower())
+    _write_records(texts, tokenizer, out_path, max_len, n_workers)
+    qid2offset = {qid: i for i, qid in enumerate(qids)}
     save_id_map(qid2offset, out_path + ".qid2offset.pickle")
     return qid2offset
 

@@ -49,6 +49,21 @@ def episode_rewarmup(base_lr: float, warmup_steps: int,
     return fn
 
 
+def episode_decay(base_lr: float, warmup_steps: int, total_steps: int,
+                  floor: float = 0.2):
+    """ANCE episode LR decay WITHOUT re-warmup: one initial warmup, then the
+    LR follows max(floor, 1 - step/total) — the factor the reference applies
+    when (re)building the optimizer at each new mining episode
+    (ANCE/drivers/run_ann.py:120-125, utils/misc.episode_lr_decay)."""
+    def fn(step):
+        step = jnp.asarray(step, jnp.float32)
+        warm = jnp.clip(step / jnp.maximum(1.0, warmup_steps), 0.0, 1.0)
+        decay = jnp.maximum(floor, 1.0 - step / total_steps)
+        return base_lr * warm * decay
+
+    return fn
+
+
 def warmup_constant(base_lr: float, warmup_steps: int):
     def fn(step):
         step = jnp.asarray(step, jnp.float32)

@@ -60,6 +60,7 @@ def prepare_beir_task(
     tokenizer,
     cfg: BeirEvalConfig,
     split: str = "test",
+    n_workers: int = 1,
 ):
     """Tokenize corpus/queries/qrels into record files (idempotent)."""
     os.makedirs(out_dir, exist_ok=True)
@@ -73,6 +74,7 @@ def prepare_beir_task(
             tokenizer,
             cfg.doc_len,
             clean=cfg.task == "robust04",
+            n_workers=n_workers,
         )
     else:
         from cocodr_tpu.data.records import load_id_map

@@ -9,6 +9,10 @@ One compiled SPMD program per stage covering the reference's training modes
 - 'idro'       : iDRO — per-group gradients restricted to the last-k encoder
                  layers feed the multiplicative weight update
                  (ANCE/model/dro_loss.py:174-254)
+- 'nll_multichunk' : long-doc triplet NLL — pos/neg docs arrive as C
+                 concatenated chunks [B, C*L]; doc score = max over chunk
+                 scores with -9999 bias on all-pad chunks
+                 (ANCE/model/models.py:307-399, NLL_MultiChunk)
 
 Under pjit the batch is sharded over the mesh data axis and params are
 replicated; XLA inserts the gradient reductions the reference got from DDP.
@@ -38,6 +42,7 @@ from cocodr_tpu.losses import (
     per_group_grads,
     triplet_nll,
 )
+from cocodr_tpu.losses.nll import triplet_nll_multichunk
 from cocodr_tpu.utils.train_state import TrainState
 
 
@@ -123,6 +128,52 @@ def build_train_step(
             def loss_fn(p):
                 q, a, b = _embed_triplet(model, p, batch, dropout_rng)
                 losses, acc, _ = triplet_nll(q, a, b)
+                w = batch.get("weights")
+                if w is not None:
+                    losses = losses * w
+                return jnp.mean(losses), jnp.mean(acc)
+
+            (loss, acc), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+                state.params
+            )
+            state = apply_updates(state, grads, state.extra)
+            return state, {"loss": loss, "acc": acc}
+
+        return jax.jit(step)
+
+    if cfg.loss_kind == "nll_multichunk":
+
+        def step(state: TrainState, batch, dropout_rng=None):
+            def loss_fn(p):
+                rngs = (
+                    {"dropout": dropout_rng} if dropout_rng is not None
+                    else None
+                )
+                det = dropout_rng is None
+
+                def apply(ids, mask, method):
+                    return model.apply(
+                        {"params": p}, ids, mask, deterministic=det,
+                        method=method, rngs=rngs,
+                    )
+
+                q = apply(batch["q_ids"], batch["q_mask"], model.query_emb)
+                # body_emb folds [B, C*L] -> per-chunk embeddings [B, C, D]
+                a = apply(batch["pos_ids"], batch["pos_mask"], model.body_emb)
+                b = apply(batch["neg_ids"], batch["neg_mask"], model.body_emb)
+                C = a.shape[1]
+                # a chunk is real iff it has any live token — the reference
+                # derives the -9999 bias from per-chunk mask sums
+                # (ANCE/model/models.py:326-357)
+                pos_cm = (
+                    batch["pos_mask"].reshape(q.shape[0], C, -1).sum(-1) > 0
+                )
+                neg_cm = (
+                    batch["neg_mask"].reshape(q.shape[0], C, -1).sum(-1) > 0
+                )
+                losses, acc, _ = triplet_nll_multichunk(
+                    q, a, pos_cm, b, neg_cm
+                )
                 w = batch.get("weights")
                 if w is not None:
                     losses = losses * w

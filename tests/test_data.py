@@ -225,3 +225,28 @@ def test_encode_length_buckets(tmp_path):
         enc, cache, EncodeConfig(batch_size=8, length_buckets=(8, 16))
     )
     np.testing.assert_allclose(bucketed, flat, atol=2e-5, rtol=1e-4)
+
+
+def test_parallel_tokenize_byte_identical(tmp_path, tiny_tokenizer):
+    """n_workers>1 must produce byte-identical records + the same id map
+    (reference multi_file_process, ANCE/utils/util.py:420-436)."""
+    from cocodr_tpu.data.preprocess import tokenize_msmarco_passages
+
+    coll = tmp_path / "collection.tsv"
+    lines = [f"{i}\tthe quick brown fox jumps over dog number {i}"
+             for i in range(37)]
+    coll.write_text("\n".join(lines) + "\n")
+
+    m1 = tokenize_msmarco_passages(
+        str(coll), str(tmp_path / "serial"), tiny_tokenizer, 12
+    )
+    m2 = tokenize_msmarco_passages(
+        str(coll), str(tmp_path / "par"), tiny_tokenizer, 12, n_workers=4
+    )
+    assert m1 == m2
+    b1 = (tmp_path / "serial").read_bytes()
+    b2 = (tmp_path / "par").read_bytes()
+    assert b1 == b2
+    assert json.loads((tmp_path / "par_meta").read_text())[
+        "total_number"] == 37
+    assert not list(tmp_path.glob("par.part*"))

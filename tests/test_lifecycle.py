@@ -266,3 +266,24 @@ def test_encoder_fresh_noise_per_batch():
     c = np.asarray(enc0(ids, mask))
     d = np.asarray(enc0(ids, mask))
     np.testing.assert_array_equal(c, d)
+
+
+def test_episode_decay_schedule_config():
+    """'episode-decay' = one warmup then max(floor, 1-step/total) — the
+    reference's per-episode LR decay without re-warmup (run_ann.py:120-125)."""
+    import numpy as np
+
+    from cocodr_tpu.core.configs import OptimizerConfig
+    from cocodr_tpu.optim.schedules import episode_decay
+
+    fn = episode_decay(1.0, warmup_steps=10, total_steps=100, floor=0.2)
+    assert float(fn(0)) == 0.0
+    assert float(fn(10)) == np.float32(0.9)  # warm done, decay 1-10/100
+    assert float(fn(50)) == np.float32(0.5)
+    assert float(fn(99)) == np.float32(0.2)  # floored
+
+    tx = OptimizerConfig(
+        name="adamw", lr=1e-4, warmup_steps=1, total_steps=10,
+        schedule="episode-decay",
+    ).build()
+    assert tx is not None

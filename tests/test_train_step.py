@@ -111,3 +111,52 @@ def test_idro_group_grads_only_last_k():
     assert gg.shape == (3, P)
     assert np.isfinite(np.asarray(gg)).all()
     assert np.abs(np.asarray(gg)).max() > 0
+
+
+def test_nll_multichunk_trains_end_to_end():
+    """Long-doc mode: rdot_nll_multi_chunk model + nll_multichunk step
+    (reference NLL_MultiChunk, ANCE/model/models.py:307-399). Padded chunks
+    must not influence the loss."""
+    bert = BertConfig.tiny()
+    L, C, B, Lq = 8, 3, 4, 6
+    model = build_dual_encoder("rdot_nll_multi_chunk", bert, base_len=L)
+    rng = np.random.RandomState(1)
+    q_ids = rng.randint(1, 100, size=(B, Lq)).astype(np.int32)
+    d_ids = rng.randint(1, 100, size=(B, C * L)).astype(np.int32)
+    d_mask = np.ones((B, C * L), np.int32)
+    d_mask[:, 2 * L:] = 0  # third chunk fully padded
+    batch = {
+        "q_ids": jnp.asarray(q_ids),
+        "q_mask": jnp.ones((B, Lq), jnp.int32),
+        "pos_ids": jnp.asarray(d_ids),
+        "pos_mask": jnp.asarray(d_mask),
+        "neg_ids": jnp.asarray(d_ids[::-1].copy()),
+        "neg_mask": jnp.asarray(d_mask),
+        "weights": jnp.ones((B,), jnp.float32),
+    }
+    params = model.init(
+        jax.random.PRNGKey(0), batch["q_ids"][:1], batch["q_mask"][:1]
+    )["params"]
+    tx = lamb(warmup_linear(5e-4, 2, 100))
+    state = TrainState.create(params, tx)
+    step = build_train_step(
+        model, tx, TrainStepConfig(loss_kind="nll_multichunk")
+    )
+    losses = []
+    for _ in range(6):
+        state, metrics = step(state, batch)
+        losses.append(float(metrics["loss"]))
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0]
+
+    # padded-chunk invariance: garbage tokens under a zero mask change nothing
+    batch2 = dict(batch)
+    garbage = np.array(batch["pos_ids"])
+    garbage[:, 2 * L:] = 7
+    batch2["pos_ids"] = jnp.asarray(garbage)
+    state2 = TrainState.create(params, tx)
+    _, m1 = step(TrainState.create(params, tx), batch)
+    _, m2 = step(state2, batch2)
+    np.testing.assert_allclose(
+        float(m1["loss"]), float(m2["loss"]), rtol=1e-6
+    )
