@@ -207,7 +207,9 @@ def _pad_replicate(corpus, multiple):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("k", "tile", "fine", "coarse", "q_tile", "interpret"),
+    static_argnames=(
+        "k", "tile", "fine", "coarse", "q_tile", "supers", "interpret",
+    ),
 )
 def mips_topk_hierarchical(
     queries: jnp.ndarray,
@@ -217,25 +219,26 @@ def mips_topk_hierarchical(
     fine: int = 8,
     coarse: int = 8,  # coarse block = fine * coarse rows
     q_tile: int = 512,
+    supers: int = 8,  # super block = fine * coarse * supers rows (1 = off)
     interpret: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Exact top-k with a two-level block hierarchy — the fast path.
+    """Exact top-k with a three-level block hierarchy — the fast path.
 
     Sweep keeps FINE (8-row) block maxima; selection is hierarchical:
-      top-k over COARSE (64-row) maxima  -> surviving coarse blocks
+      top-k over SUPER (512-row) maxima  -> surviving super blocks
+      top-k over their coarse maxima     -> k coarse blocks
       top-k over their fine maxima       -> k fine blocks
       rescore k*fine candidate rows      -> exact order
-    Both selections are lossless by the block-max coverage argument (at most
-    k blocks at any granularity can contain true top-k items, and each such
-    block's max >= the global k-th score). The fine level cuts the
-    candidate-gather 4x vs block=32 (the gather dominated the flat version:
-    100ms of a 136ms search); the coarse level cuts the big sort 2x; the
-    query-major fine-maxima layout makes the fine select a contiguous
-    run-gather (2.7x faster than the scattered corpus-major gather).
-
-    Measured (v5e, 1M x 768, Q=1024, k=100): 29.3 ms/search -> ~35k QPS
-    (sweep 12ms at 142 TFLOP/s; coarse top_k ~5ms, fine run-gather+top_k
-    ~4ms, block-gather rescore ~8ms).
+    Every selection level is lossless by the block-max coverage argument: a
+    block (any granularity) whose max >= the global k-th score contains a
+    top-k item as its argmax, so at most k blocks qualify and top-k over
+    block maxima keeps them all. The fine level cuts the candidate-gather
+    4x vs block=32 (the gather dominated the flat version: 100ms of a 136ms
+    search); the super level shrinks the only big top_k from [Q, N/64] to
+    [Q, N/512] (the [Q,16384] coarse top_k was ~1/3 of the search at 1M
+    docs); the query-major fine-maxima layout makes the fine select a
+    contiguous run-gather (2.7x faster than the scattered corpus-major
+    gather).
     """
     Q, D = queries.shape
     N = corpus.shape[0]
@@ -267,7 +270,34 @@ def mips_topk_hierarchical(
     ).T  # [Q, n_coarse]
     extra = 1 if N % cb else 0
     kc = min(k + extra, n_coarse)
-    _, coarse_ids = jax.lax.top_k(bm_coarse, kc)  # [Q, kc]
+    if supers > 1 and n_coarse > supers * kc:
+        # phase 2a': super level. Reduce [Q, n_coarse] -> [Q, n_super] by a
+        # free leading-axis max, top-k there, then re-select among the
+        # surviving supers' coarse maxima (a contiguous run-gather, like the
+        # fine level). Lossless by the same coverage argument; the replicate
+        # -pad boundary block costs one extra slot when N % (cb*supers).
+        n_super = -(-n_coarse // supers)
+        pad_c = n_super * supers - n_coarse
+        bm_c_p = (
+            jnp.pad(bm_coarse, ((0, 0), (0, pad_c)),
+                    constant_values=-jnp.inf)
+            if pad_c else bm_coarse
+        )
+        sup = jnp.max(bm_c_p.reshape(Q, n_super, supers), axis=2)
+        ks = min(k + (1 if N % (cb * supers) else 0), n_super)
+        _, sup_ids = jax.lax.top_k(sup, ks)  # [Q, ks]
+        c_max = jnp.take_along_axis(
+            bm_c_p.reshape(Q, n_super, supers), sup_ids[:, :, None], axis=1
+        ).reshape(Q, ks * supers)
+        c_cand = (
+            sup_ids[:, :, None] * supers
+            + jnp.arange(supers, dtype=jnp.int32)[None, None, :]
+        ).reshape(Q, ks * supers)
+        kc = min(kc, ks * supers)
+        _, pos_c = jax.lax.top_k(c_max, kc)
+        coarse_ids = jnp.take_along_axis(c_cand, pos_c, axis=1)  # [Q, kc]
+    else:
+        _, coarse_ids = jax.lax.top_k(bm_coarse, kc)  # [Q, kc]
 
     # phase 2b: fine maxima within surviving coarse blocks. In query-major
     # layout the `coarse` fine maxima of one coarse block are contiguous, so

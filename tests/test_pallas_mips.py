@@ -187,3 +187,25 @@ def test_int8_mode():
     np.testing.assert_allclose(v, got, rtol=0.05, atol=0.1)
     # ranking within the returned list is by quantized score, descending
     assert np.all(np.diff(v, axis=1) <= 1e-6)
+
+
+def test_hierarchical_super_level_matches_naive():
+    """3-level selection (super over coarse) is exact, including with a
+    replicate-padded boundary block (odd N) and padded super columns."""
+    from cocodr_tpu.ops.pallas_mips import mips_topk_hierarchical
+
+    rng = np.random.RandomState(7)
+    Q, N, D = 8, 3000, 16
+    q = rng.randn(Q, D).astype(np.float32)
+    c = rng.randn(N, D).astype(np.float32)
+    c[2996:] = q[3] * 10  # best docs for q3 in the boundary (padded) block
+    v, i = mips_topk_hierarchical(
+        jnp.asarray(q), jnp.asarray(c), k=4, tile=256, fine=4, coarse=4,
+        q_tile=8, supers=4, interpret=True,
+    )
+    v_ref, _ = mips_topk(jnp.asarray(q), jnp.asarray(c), k=4, tile=256)
+    np.testing.assert_allclose(
+        np.asarray(v), np.asarray(v_ref), atol=2e-5, rtol=1e-5
+    )
+    assert np.asarray(i).min() >= 0 and np.asarray(i).max() < N
+    assert set(range(2996, 3000)) == set(np.asarray(i)[3].tolist())
