@@ -49,6 +49,10 @@ class BertConfig:
     # flax-side knobs
     dtype: Dtype = jnp.float32
     remat: bool = False
+    # remat granularity: '' = full recompute; 'dots_saveable' keeps matmul
+    # outputs resident and recomputes only the cheap elementwise tail
+    # (often near no-remat speed at a fraction of the activation memory)
+    remat_policy: str = ""
 
     @classmethod
     def roberta_base(cls, **kw) -> "BertConfig":
@@ -292,10 +296,14 @@ class BertEncoder(nn.Module):
 
         body = Body
         if cfg.remat:
+            policy = None
+            if cfg.remat_policy:
+                policy = getattr(jax.checkpoint_policies, cfg.remat_policy)
             body = nn.remat(
                 Body,
                 static_argnums=(),
                 prevent_cse=False,
+                policy=policy,
             )
         stack = nn.scan(
             body,
