@@ -295,12 +295,13 @@ def cmd_warmup(args):
             print(json.dumps({"step": int(state.step), **m}))
 
     wcfg = WarmupConfig(
-        max_seq_len=cfg.max_seq_len,
+        max_seq_len=args.max_seq_len or cfg.max_seq_len,
         batch_size=args.batch_size or cfg.per_device_batch,
         num_epochs=cfg.num_epochs,
         save_steps=cfg.save_steps,
         max_steps=args.max_steps,
         eval_every_steps=args.eval_every,
+        log_every=args.log_every,
     )
     logger = _metrics_logger(args)
 
@@ -721,6 +722,9 @@ def main(argv=None):
     sp.add_argument("--eval-every", type=int, default=0)
     sp.add_argument("--no-dropout", action="store_true")
     sp.add_argument("--seed", type=int, default=0)
+    sp.add_argument("--max-seq-len", type=int, default=0,
+                    help="override the preset sequence length")
+    sp.add_argument("--log-every", type=int, default=100)
     sp.set_defaults(fn=cmd_warmup)
 
     sp = sub.add_parser("ance")
