@@ -68,6 +68,13 @@ def _setup_jax(args):
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 
+def _parse_buckets(spec):
+    """--length-buckets '64,128' -> (64, 128); '' -> () (single width)."""
+    if not spec:
+        return ()
+    return tuple(int(x) for x in spec.split(","))
+
+
 def _build_mesh(args):
     """--mesh spec -> jax.sharding.Mesh (or None for single-device)."""
     spec = getattr(args, "mesh", None)
@@ -177,6 +184,7 @@ def cmd_eval_beir(args):
         batch_size=args.batch_size,
         top_k=args.top_k,
         exact_fp32=args.exact_fp32,
+        length_buckets=_parse_buckets(args.length_buckets),
         **kw,
     )
     if args.result_dir:
@@ -356,6 +364,7 @@ def cmd_ance(args):
         cluster_query=cfg.loss_kind != "nll",
         cluster_centroids=cfg.dro.n_groups,
         batch_size=cfg.eval_batch,
+        length_buckets=_parse_buckets(getattr(args, "length_buckets", "")),
     )
     logger = _metrics_logger(args)
     work_dir = os.path.join(args.ckpt_dir, "ann_data")
@@ -590,6 +599,8 @@ def cmd_ance_mine(args):
             cluster_query=cfg.loss_kind != "nll",
             cluster_centroids=cfg.dro.n_groups,
             batch_size=cfg.eval_batch,
+            length_buckets=_parse_buckets(
+                getattr(args, "length_buckets", "")),
         ),
     )
 
@@ -679,6 +690,9 @@ def main(argv=None):
     sp.add_argument("--query-len", type=int, default=0)
     sp.add_argument("--doc-len", type=int, default=0)
     sp.add_argument("--exact-fp32", action="store_true")
+    sp.add_argument("--length-buckets", default="",
+                    help="comma-separated ascending encode widths (last >= "
+                         "doc len), e.g. 64,128 — recovers padding waste")
     sp.add_argument("--result-dir", default=None,
                     help="write ann_ndcg_group_{task}_{n} for the ANCE "
                          "trainer's per-task TB curves")
@@ -738,6 +752,7 @@ def main(argv=None):
     sp.add_argument("--no-resume", action="store_true")
     sp.add_argument("--rewarmup", action="store_true",
                     help="episode-rewarmup LR schedule (re-warm per round)")
+    sp.add_argument("--length-buckets", default="")
     sp.add_argument("--no-dropout", action="store_true")
     sp.add_argument("--seed", type=int, default=0)
     sp.set_defaults(fn=cmd_ance)
@@ -758,6 +773,7 @@ def main(argv=None):
         sp.add_argument("--seed", type=int, default=0)
         sp.add_argument("--result-dir", default=None,
                         help="per-BEIR-task group result dir for TB curves")
+        sp.add_argument("--length-buckets", default="")
         sp.set_defaults(fn=fn)
 
     sp = sub.add_parser("export-hf")

@@ -58,6 +58,10 @@ class MineConfig:
     # 'fast' (rescore-free block-argmax, ~1.25x faster, ~99.7% recall@100 —
     # hard negatives tolerate it); ignored with exact_fp32
     search_method: str = "auto"
+    # length-bucketed corpus encode: ascending seq widths, last >= cache
+    # max_len (e.g. (64, 128)); recovers padding waste — MARCO passages
+    # average ~half the 128-token budget. () = single-width encode.
+    length_buckets: tuple = ()
     # mine each round over 1/chunk_factor of the train queries, rotating by
     # round (reference ann_chunk_factor, data_gen.py:332-386); <=1 disables.
     # ignored when cluster_query=True, matching the reference.
@@ -182,7 +186,8 @@ def mine(
     """One mining round. Returns the dev metrics it logged."""
     os.makedirs(out_dir, exist_ok=True)
     rng = np.random.RandomState(cfg.seed + output_num)
-    ecfg = EncodeConfig(batch_size=cfg.batch_size)
+    ecfg = EncodeConfig(batch_size=cfg.batch_size,
+                        length_buckets=cfg.length_buckets)
 
     doc_enc = Encoder(model, params, mesh=mesh, is_query=False)
     q_enc = Encoder(model, params, mesh=mesh, is_query=True)

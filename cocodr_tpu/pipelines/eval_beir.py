@@ -45,6 +45,7 @@ class BeirEvalConfig:
     ndcg_k: int = 10
     recall_ks: tuple = (10, 100, 1000)
     exact_fp32: bool = False
+    length_buckets: tuple = ()  # bucketed corpus encode (see MineConfig)
 
     @classmethod
     def for_task(cls, task: str, **kw) -> "BeirEvalConfig":
@@ -112,7 +113,8 @@ def evaluate_beir_task(
 
     doc_encoder = Encoder(model, params, mesh=mesh, is_query=False)
     query_encoder = Encoder(model, params, mesh=mesh, is_query=True)
-    ecfg = EncodeConfig(batch_size=cfg.batch_size)
+    ecfg = EncodeConfig(batch_size=cfg.batch_size,
+                        length_buckets=cfg.length_buckets)
 
     # multi-chunk long-doc models index one vector per chunk; retrieval
     # dedupes to the best-scoring chunk per document (the reference's

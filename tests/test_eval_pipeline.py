@@ -130,3 +130,27 @@ def test_eval_beir_multichunk(tmp_path, tiny_tokenizer):
     assert metrics["num_queries"] == 10
     # dedupe keeps ranking lists valid (no doc repeated)
     assert 0.0 <= metrics["ndcg_cut_10"] <= 1.0
+
+
+def test_eval_beir_length_buckets_same_metrics(tmp_path, tiny_tokenizer):
+    """Bucketed corpus encode (BeirEvalConfig.length_buckets) must not
+    change retrieval results, only padding work."""
+    data_dir = _write_beir_task(tmp_path, n_docs=20)
+    bert = BertConfig.tiny()
+    model = build_dual_encoder("rdot_nll_condenser", bert)
+    import jax
+
+    params = model.init(
+        jax.random.PRNGKey(0),
+        jnp.ones((1, 8), jnp.int32),
+        jnp.ones((1, 8), jnp.int32),
+    )["params"]
+    kw = dict(task="synthetic", batch_size=8, top_k=20, mips_tile=16,
+              q_chunk=4, query_len=8, doc_len=12, exact_fp32=True)
+    m_plain = eval_beir(model, params, data_dir, str(tmp_path / "w1"),
+                        tiny_tokenizer, **kw)
+    m_buck = eval_beir(model, params, data_dir, str(tmp_path / "w2"),
+                       tiny_tokenizer, length_buckets=(8, 12), **kw)
+    for key in ("ndcg_cut_10", "recall_10", "mrr"):
+        if key in m_plain:
+            assert m_plain[key] == m_buck[key], key
