@@ -259,7 +259,7 @@ def mips_topk_hierarchical(
     tile: int = 2048,
     fine: int = 8,
     coarse: int = 8,  # coarse block = fine * coarse rows
-    q_tile: int = 512,
+    q_tile: int = 1024,  # measured ~2% faster than 512 (best-of-5 A/B)
     supers: int = 8,  # super block = fine * coarse * supers rows (1 = off)
     interpret: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
@@ -396,7 +396,7 @@ def mips_topk_fast(
     tile: int = 2048,
     fine: int = 8,
     coarse: int = 8,
-    q_tile: int = 512,
+    q_tile: int = 1024,  # see mips_topk_hierarchical
     supers: int = 8,
     interpret: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:

@@ -209,3 +209,27 @@ def test_hierarchical_super_level_matches_naive():
     )
     assert np.asarray(i).min() >= 0 and np.asarray(i).max() < N
     assert set(range(2996, 3000)) == set(np.asarray(i)[3].tolist())
+
+
+def test_fused_attention_matches_xla():
+    """ops/pallas_attention: kernel == XLA formulation (interpret mode),
+    both layouts, fwd + grad through the custom VJP."""
+    from cocodr_tpu.ops.pallas_attention import (
+        _xla_attention_seq,
+        attention,
+        fused_attention_seq_major,
+    )
+
+    B, N, S, D = 4, 2, 16, 8
+    q = jax.random.normal(jax.random.PRNGKey(0), (B, S, N, D), jnp.float32)
+    k = jax.random.normal(jax.random.PRNGKey(1), (B, S, N, D), jnp.float32)
+    v = jax.random.normal(jax.random.PRNGKey(2), (B, S, N, D), jnp.float32)
+    bias = jnp.zeros((B, S), jnp.float32).at[:, 12:].set(-1e9)
+    ref = _xla_attention_seq(q, k, v, bias, 0.3)
+    out = fused_attention_seq_major(q, k, v, bias, 0.3, g=2, interpret=True)
+    np.testing.assert_allclose(np.asarray(out[:, :12]),
+                               np.asarray(ref[:, :12]), atol=1e-5)
+    # dispatcher (XLA fallback on CPU) + custom-VJP grad path
+    g1 = jax.grad(lambda q: jnp.sum(attention(q, k, v, bias, 0.3)))(q)
+    g2 = jax.grad(lambda q: jnp.sum(_xla_attention_seq(q, k, v, bias, 0.3)))(q)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), atol=1e-5)
