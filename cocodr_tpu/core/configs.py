@@ -48,6 +48,7 @@ class OptimizerConfig:
                 self.warmup_steps,
                 self.total_steps,
                 floor=self.lr_floor,
+                episode_steps=self.episode_steps,
             )
         elif self.schedule == "episode-rewarmup":
             assert self.episode_steps > 0, "episode-rewarmup needs episode_steps"

@@ -62,25 +62,37 @@ def _part_worker(job):
     return part_idx, len(texts)
 
 
-def _write_records(texts, tokenizer, out_path: str, max_len: int,
-                   n_workers: int = 1) -> int:
-    """Tokenize `texts` (final strings, in order) into `out_path`.
+def _write_records_streaming(pairs, tokenizer, out_path: str,
+                             max_len: int) -> list:
+    """Serial path: one pass, one line in memory at a time."""
+    ids = []
+    with RecordWriter(out_path, max_len) as w:
+        for ext_id, text in pairs:
+            ids.append(ext_id)
+            w.write(_encode(tokenizer, text, max_len))
+    return ids
 
-    Returns the record count; record i holds texts[i], so callers map
-    external ids by enumeration order exactly as in the serial path.
+
+def _write_records_parallel(pairs, tokenizer, out_path: str, max_len: int,
+                            n_workers: int) -> list:
+    """Fan the tokenizer loop over fork workers; byte-identical output.
+
+    Buffers the (id, text) pairs in the parent — the price of the split
+    (the reference pays it as on-disk line shards instead,
+    util.py:420-427). Workers inherit the tokenizer by FORK: call before
+    spawning device/tokenizer worker threads (the CLI preprocess commands
+    run pre-jax; a thread-heavy parent should use n_workers=1).
     """
-    texts = list(texts)
-    if n_workers <= 1 or len(texts) < 2 * n_workers:
-        with RecordWriter(out_path, max_len) as w:
-            for t in texts:
-                w.write(_encode(tokenizer, t, max_len))
-        return len(texts)
-
     import multiprocessing as mp
 
-    step = (len(texts) + n_workers - 1) // n_workers
+    pairs = list(pairs)
+    if len(pairs) < 2 * n_workers:
+        return _write_records_streaming(pairs, tokenizer, out_path, max_len)
+    ids = [i for i, _ in pairs]
+    step = (len(pairs) + n_workers - 1) // n_workers
     jobs = [
-        (i, f"{out_path}.part{i}", texts[i * step:(i + 1) * step])
+        (i, f"{out_path}.part{i}",
+         [t for _, t in pairs[i * step:(i + 1) * step]])
         for i in range(n_workers)
     ]
     _WORKER_STATE["tokenizer"] = tokenizer
@@ -89,28 +101,41 @@ def _write_records(texts, tokenizer, out_path: str, max_len: int,
         ctx = mp.get_context("fork")
         with ctx.Pool(n_workers) as pool:
             pool.map(_part_worker, jobs)
+        total = 0
+        with open(out_path, "wb") as out:
+            for i, part_path, part_texts in jobs:
+                with open(part_path, "rb") as pf:
+                    while True:
+                        block = pf.read(1 << 24)
+                        if not block:
+                            break
+                        out.write(block)
+                total += len(part_texts)
+        meta = {
+            "type": "int32",
+            "total_number": total,
+            "embedding_size": max_len,
+        }
+        with open(out_path + "_meta", "w") as f:
+            json.dump(meta, f)
     finally:
         _WORKER_STATE.clear()
-    total = 0
-    with open(out_path, "wb") as out:
-        for i, part_path, part_texts in jobs:
-            with open(part_path, "rb") as pf:
-                while True:
-                    block = pf.read(1 << 24)
-                    if not block:
-                        break
-                    out.write(block)
-            total += len(part_texts)
-            os.remove(part_path)
-            os.remove(part_path + "_meta")
-    meta = {
-        "type": "int32",
-        "total_number": total,
-        "embedding_size": max_len,
-    }
-    with open(out_path + "_meta", "w") as f:
-        json.dump(meta, f)
-    return total
+        for i, part_path, _ in jobs:  # orphan cleanup on failure too
+            for p in (part_path, part_path + "_meta"):
+                if os.path.exists(p):
+                    os.remove(p)
+    return ids
+
+
+def _write_record_pairs(pairs, tokenizer, out_path: str, max_len: int,
+                        n_workers: int = 1) -> list:
+    """Tokenize an iterator of (external_id, final_text) pairs into
+    `out_path`; returns the ids in record order (record i holds pair i, so
+    callers build id->offset maps by enumeration)."""
+    if n_workers <= 1:
+        return _write_records_streaming(pairs, tokenizer, out_path, max_len)
+    return _write_records_parallel(pairs, tokenizer, out_path, max_len,
+                                   n_workers)
 
 
 def _maybe_lower(text: str, lowercase: bool) -> str:
@@ -132,25 +157,26 @@ def tokenize_msmarco_passages(
     (reference's 32-way multi_file_process, ANCE/utils/util.py:420-436);
     output bytes are identical to the serial path.
     """
-    pids, texts = [], []
-    with open(collection_tsv, encoding="utf8") as f:
-        for line in f:
-            arr = line.rstrip("\n").split("\t")
-            if data_type == 0:
-                pid = int(arr[0][1:])  # strip leading 'D'
-                text = (
-                    arr[1].rstrip()
-                    + "<sep>"
-                    + arr[2].rstrip()
-                    + "<sep>"
-                    + arr[3].rstrip()
-                )
-            else:
-                pid = int(arr[0])
-                text = _maybe_lower(arr[1].rstrip(), lowercase)
-            pids.append(pid)
-            texts.append(text[:MAX_DOC_CHARACTER])
-    _write_records(texts, tokenizer, out_path, max_len, n_workers)
+    def pairs():
+        with open(collection_tsv, encoding="utf8") as f:
+            for line in f:
+                arr = line.rstrip("\n").split("\t")
+                if data_type == 0:
+                    pid = int(arr[0][1:])  # strip leading 'D'
+                    text = (
+                        arr[1].rstrip()
+                        + "<sep>"
+                        + arr[2].rstrip()
+                        + "<sep>"
+                        + arr[3].rstrip()
+                    )
+                else:
+                    pid = int(arr[0])
+                    text = _maybe_lower(arr[1].rstrip(), lowercase)
+                yield pid, text[:MAX_DOC_CHARACTER]
+
+    pids = _write_record_pairs(pairs(), tokenizer, out_path, max_len,
+                               n_workers)
     pid2offset = {pid: i for i, pid in enumerate(pids)}
     save_id_map(pid2offset, out_path + ".pid2offset.pickle")
     return pid2offset
@@ -164,13 +190,14 @@ def tokenize_queries(
     lowercase: bool = False,
     n_workers: int = 1,
 ) -> Dict[int, int]:
-    qids, texts = [], []
-    with open(queries_tsv, encoding="utf8") as f:
-        for line in f:
-            arr = line.rstrip("\n").split("\t")
-            qids.append(int(arr[0]))
-            texts.append(_maybe_lower(arr[1].rstrip(), lowercase))
-    _write_records(texts, tokenizer, out_path, max_len, n_workers)
+    def pairs():
+        with open(queries_tsv, encoding="utf8") as f:
+            for line in f:
+                arr = line.rstrip("\n").split("\t")
+                yield int(arr[0]), _maybe_lower(arr[1].rstrip(), lowercase)
+
+    qids = _write_record_pairs(pairs(), tokenizer, out_path, max_len,
+                               n_workers)
     qid2offset = {qid: i for i, qid in enumerate(qids)}
     save_id_map(qid2offset, out_path + ".qid2offset.pickle")
     return qid2offset
@@ -236,13 +263,14 @@ def tokenize_beir_corpus(
     n_workers: int = 1,
 ) -> Dict[str, int]:
     """BEIR corpus.jsonl -> records + string-id map (pchar2pid equivalent)."""
-    docids, texts = [], []
-    with open(corpus_jsonl, encoding="utf8") as f:
-        for line in f:
-            doc = json.loads(line)
-            docids.append(str(doc["_id"]))
-            texts.append(_beir_doc_text(doc, clean))
-    _write_records(texts, tokenizer, out_path, max_len, n_workers)
+    def pairs():
+        with open(corpus_jsonl, encoding="utf8") as f:
+            for line in f:
+                doc = json.loads(line)
+                yield str(doc["_id"]), _beir_doc_text(doc, clean)
+
+    docids = _write_record_pairs(pairs(), tokenizer, out_path, max_len,
+                                 n_workers)
     docid2offset = {did: i for i, did in enumerate(docids)}
     save_id_map(docid2offset, out_path + ".docid2offset.pickle")
     return docid2offset
@@ -257,19 +285,20 @@ def tokenize_beir_queries(
     clean: bool = False,
     n_workers: int = 1,
 ) -> Dict[str, int]:
-    qids, texts = [], []
-    with open(queries_jsonl, encoding="utf8") as f:
-        for line in f:
-            q = json.loads(line)
-            qid = str(q["_id"])
-            if keep is not None and qid not in keep:
-                continue
-            text = q["text"]
-            if clean:
-                text = _robust04_clean(text, _ROBUST04_QUERY_KEEP)
-            qids.append(qid)
-            texts.append(text.rstrip().lower())
-    _write_records(texts, tokenizer, out_path, max_len, n_workers)
+    def pairs():
+        with open(queries_jsonl, encoding="utf8") as f:
+            for line in f:
+                q = json.loads(line)
+                qid = str(q["_id"])
+                if keep is not None and qid not in keep:
+                    continue
+                text = q["text"]
+                if clean:
+                    text = _robust04_clean(text, _ROBUST04_QUERY_KEEP)
+                yield qid, text.rstrip().lower()
+
+    qids = _write_record_pairs(pairs(), tokenizer, out_path, max_len,
+                               n_workers)
     qid2offset = {qid: i for i, qid in enumerate(qids)}
     save_id_map(qid2offset, out_path + ".qid2offset.pickle")
     return qid2offset

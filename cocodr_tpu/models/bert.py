@@ -220,8 +220,13 @@ class BertSelfAttention(nn.Module):
 
         q, k, v = proj("query"), proj("key"), proj("value")
         scale = 1.0 / jnp.sqrt(D).astype(jnp.float32)
+        if cfg.attention_impl not in ("einsum", "fused"):
+            raise ValueError(
+                f"attention_impl must be 'einsum' or 'fused', got "
+                f"{cfg.attention_impl!r}"
+            )
         use_fused = (
-            cfg.attention_impl != "einsum"
+            cfg.attention_impl == "fused"
             and S % 8 == 0
             # attention-prob dropout can't run inside the kernel; the
             # dropout path keeps the XLA formulation

@@ -39,24 +39,18 @@ from jax.experimental.pallas import tpu as pltpu
 
 
 def _attn_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, *, scale: float,
-                 g: int, seq_major: bool = False):
-    # q/k/v: [g, N, S, D] bf16 (or [g, S, N, D] when seq_major — the
-    # DenseGeneral-native layout; the head transpose happens HERE in VMEM
-    # instead of costing an HBM round trip per layer outside); bias: FULL
-    # [B, S] f32 array resident in VMEM (a [1, S] block would violate the
-    # (8, 128) sublane constraint), indexed by grid position; o mirrors
-    # the input layout. Scores [g*N, S, S] live and die in VMEM.
+                 g: int):
+    # q/k/v: [g, S, N, D] bf16 — the DenseGeneral-native layout; the head
+    # transpose happens HERE in VMEM instead of costing an HBM round trip
+    # per layer outside. bias: FULL [B, S] f32 array resident in VMEM (a
+    # [1, S] block would violate the (8, 128) sublane constraint), indexed
+    # by grid position; o mirrors the input layout. Scores [g*N, S, S]
+    # live and die in VMEM.
     b0 = pl.program_id(0) * g
-    if seq_major:
-        G, S, N, D = q_ref.shape
-        q = jnp.swapaxes(q_ref[:], 1, 2).reshape(G * N, S, D)
-        k = jnp.swapaxes(k_ref[:], 1, 2).reshape(G * N, S, D)
-        v = jnp.swapaxes(v_ref[:], 1, 2).reshape(G * N, S, D)
-    else:
-        G, N, S, D = q_ref.shape
-        q = q_ref[:].reshape(G * N, S, D)
-        k = k_ref[:].reshape(G * N, S, D)
-        v = v_ref[:].reshape(G * N, S, D)
+    G, S, N, D = q_ref.shape
+    q = jnp.swapaxes(q_ref[:], 1, 2).reshape(G * N, S, D)
+    k = jnp.swapaxes(k_ref[:], 1, 2).reshape(G * N, S, D)
+    v = jnp.swapaxes(v_ref[:], 1, 2).reshape(G * N, S, D)
     scores = jax.lax.dot_general(
         q, k,
         dimension_numbers=(((2,), (2,)), ((0,), (0,))),
@@ -76,45 +70,7 @@ def _attn_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, *, scale: float,
         dimension_numbers=(((2,), (1,)), ((0,), (0,))),
         preferred_element_type=jnp.float32,
     ).astype(o_ref.dtype).reshape(G, N, S, D)
-    o_ref[:] = jnp.swapaxes(ctx, 1, 2) if seq_major else ctx
-
-
-@functools.partial(jax.jit, static_argnames=("scale", "g", "interpret"))
-def fused_attention(q, k, v, mask, scale: float, g: int = 4,
-                    interpret: bool = False):
-    """q/k/v: [B, N, S, D] (head-major); mask: [B, S] (1 = real token).
-
-    Returns ctx [B, N, S, D] in q.dtype. Pad keys get a -1e9 additive bias
-    (the models/bert.py convention); pad QUERY rows produce garbage rows
-    that downstream pooling ignores, exactly like the XLA path.
-    """
-    B, N, S, D = q.shape
-    while B % g:
-        g //= 2
-    g = max(g, 1)
-    bias = (1.0 - mask.astype(jnp.float32)) * -1e9  # [B, S]
-    return pl.pallas_call(
-        functools.partial(_attn_kernel, scale=scale, g=g),
-        grid=(B // g,),
-        in_specs=[
-            pl.BlockSpec((g, N, S, D), lambda b: (b, 0, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((g, N, S, D), lambda b: (b, 0, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((g, N, S, D), lambda b: (b, 0, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),  # full bias resident
-        ],
-        out_specs=pl.BlockSpec((g, N, S, D), lambda b: (b, 0, 0, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((B, N, S, D), q.dtype),
-        interpret=interpret,
-        cost_estimate=pl.CostEstimate(
-            flops=4 * B * N * S * S * D,
-            bytes_accessed=8 * B * N * S * D,
-            transcendentals=B * N * S * S,
-        ),
-    )(q, k, v, bias)
+    o_ref[:] = jnp.swapaxes(ctx, 1, 2)
 
 
 def fused_attention_seq_major(q, k, v, bias, scale, g: int = 2,
@@ -130,7 +86,7 @@ def fused_attention_seq_major(q, k, v, bias, scale, g: int = 2,
         g //= 2
     g = max(g, 1)
     return pl.pallas_call(
-        functools.partial(_attn_kernel, scale=scale, g=g, seq_major=True),
+        functools.partial(_attn_kernel, scale=scale, g=g),
         grid=(B // g,),
         in_specs=[
             pl.BlockSpec((g, S, N, D), lambda b: (b, 0, 0, 0),
@@ -151,16 +107,6 @@ def fused_attention_seq_major(q, k, v, bias, scale, g: int = 2,
             transcendentals=B * N * S * S,
         ),
     )(q, k, v, jnp.asarray(bias, jnp.float32))
-
-
-def _xla_attention(q, k, v, bias, scale):
-    """Reference XLA formulation (identical math to models/bert.py)."""
-    scores = jnp.einsum(
-        "bnqd,bnkd->bnqk", q, k, preferred_element_type=jnp.float32
-    )
-    scores = scores * scale + bias[:, None, None, :]
-    probs = jax.nn.softmax(scores, axis=-1).astype(q.dtype)
-    return jnp.einsum("bnqk,bnkd->bnqd", probs, v)
 
 
 def _tpu_like_backend() -> bool:
@@ -193,37 +139,6 @@ def attention(q, k, v, bias, scale: float):
     if _tpu_like_backend() and q.shape[1] % 8 == 0:
         return fused_attention_seq_major(q, k, v, bias, scale)
     return _xla_attention_seq(q, k, v, bias, scale)
-
-
-def fused_attention_from_bias(q, k, v, bias, scale, g: int = 2,
-                              interpret: bool = False):
-    """fused_attention but taking the precomputed [B, S] f32 bias."""
-    B, N, S, D = q.shape
-    while B % g:
-        g //= 2
-    g = max(g, 1)
-    return pl.pallas_call(
-        functools.partial(_attn_kernel, scale=scale, g=g),
-        grid=(B // g,),
-        in_specs=[
-            pl.BlockSpec((g, N, S, D), lambda b: (b, 0, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((g, N, S, D), lambda b: (b, 0, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((g, N, S, D), lambda b: (b, 0, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((g, N, S, D), lambda b: (b, 0, 0, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((B, N, S, D), q.dtype),
-        interpret=interpret,
-        cost_estimate=pl.CostEstimate(
-            flops=4 * B * N * S * S * D,
-            bytes_accessed=8 * B * N * S * D,
-            transcendentals=B * N * S * S,
-        ),
-    )(q, k, v, jnp.asarray(bias, jnp.float32))
 
 
 def _attention_fwd(q, k, v, bias, scale):

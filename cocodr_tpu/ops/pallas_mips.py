@@ -508,7 +508,6 @@ def mips_topk_int8(
     vs f32 exact search is the 8-bit rounding plus the one-row-per-block
     property of the fast mode. Returns (approx f32 scores, ids).
 
-    Measured (v5e, 768-d): 1M docs Q=1024 k=100: 30.2 ms -> 33.9k QPS,
     recall@100 vs exact bf16 = 98.4% (random corpora); capacity demo:
     16.4M docs (12.6GB) resident on one chip, 1.4k QPS at Q=128.
     Measured (v5e, 1M x 768, Q=1024, k=100, best-of-3): 23.3 ms -> 43.9k

@@ -50,15 +50,23 @@ def episode_rewarmup(base_lr: float, warmup_steps: int,
 
 
 def episode_decay(base_lr: float, warmup_steps: int, total_steps: int,
-                  floor: float = 0.2):
+                  floor: float = 0.2, episode_steps: int = 0):
     """ANCE episode LR decay WITHOUT re-warmup: one initial warmup, then the
     LR follows max(floor, 1 - step/total) — the factor the reference applies
     when (re)building the optimizer at each new mining episode
-    (ANCE/drivers/run_ann.py:120-125, utils/misc.episode_lr_decay)."""
+    (ANCE/drivers/run_ann.py:120-125, utils/misc.episode_lr_decay).
+
+    episode_steps > 0 freezes the factor at each episode's FIRST step for
+    the whole episode (the reference computes it once per episode at
+    optimizer build time); 0 decays continuously per step."""
     def fn(step):
         step = jnp.asarray(step, jnp.float32)
         warm = jnp.clip(step / jnp.maximum(1.0, warmup_steps), 0.0, 1.0)
-        decay = jnp.maximum(floor, 1.0 - step / total_steps)
+        eff = (
+            jnp.floor(step / episode_steps) * episode_steps
+            if episode_steps > 0 else step
+        )
+        decay = jnp.maximum(floor, 1.0 - eff / total_steps)
         return base_lr * warm * decay
 
     return fn

@@ -124,6 +124,14 @@ def evaluate_beir_task(
     if multivector:
         from cocodr_tpu.pipelines.encode import encode_cache_multivector
 
+        if cfg.length_buckets:
+            import warnings
+
+            warnings.warn(
+                "length_buckets is ignored for multi-chunk models: chunked "
+                "records are fixed-width (C*chunk_len)", stacklevel=2,
+            )
+
         corpus_emb, row2doc = encode_cache_multivector(
             doc_encoder, corpus_cache, ecfg, chunk_len=chunk_len
         )

@@ -145,22 +145,8 @@ def build_train_step(
 
         def step(state: TrainState, batch, dropout_rng=None):
             def loss_fn(p):
-                rngs = (
-                    {"dropout": dropout_rng} if dropout_rng is not None
-                    else None
-                )
-                det = dropout_rng is None
-
-                def apply(ids, mask, method):
-                    return model.apply(
-                        {"params": p}, ids, mask, deterministic=det,
-                        method=method, rngs=rngs,
-                    )
-
-                q = apply(batch["q_ids"], batch["q_mask"], model.query_emb)
                 # body_emb folds [B, C*L] -> per-chunk embeddings [B, C, D]
-                a = apply(batch["pos_ids"], batch["pos_mask"], model.body_emb)
-                b = apply(batch["neg_ids"], batch["neg_mask"], model.body_emb)
+                q, a, b = _embed_triplet(model, p, batch, dropout_rng)
                 C = a.shape[1]
                 # a chunk is real iff it has any live token — the reference
                 # derives the -9999 bias from per-chunk mask sums

@@ -64,3 +64,19 @@ def test_episode_rewarmup_schedule():
     assert float(fn(105)) == pytest.approx(0.5 * (1 - 105 / 1000))
     # floor on the decay: at step 955 (warmup done in-episode), lr = floor
     assert float(fn(955)) == pytest.approx(0.2, abs=1e-6)
+
+
+def test_episode_decay_stepwise_constant():
+    """episode_steps freezes the decay factor for a whole episode — the
+    reference computes it once per episode at optimizer build time
+    (run_ann.py:120-125)."""
+    import numpy as np
+
+    from cocodr_tpu.optim.schedules import episode_decay
+
+    fn = episode_decay(1.0, warmup_steps=1, total_steps=100, floor=0.2,
+                       episode_steps=10)
+    # within episode 1 (steps 10..19) the factor is fixed at 1-10/100
+    vals = [float(fn(s)) for s in range(10, 20)]
+    assert all(v == np.float32(0.9) for v in vals), vals
+    assert float(fn(20)) == np.float32(0.8)
