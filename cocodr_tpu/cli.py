@@ -11,6 +11,8 @@ Replaces the reference's bash pipelines (reference commands/*.sh,
   python -m cocodr_tpu.cli coco --train-dir ... --ckpt-dir ... [--preset coco-base]
   python -m cocodr_tpu.cli ance-mine / ance-train   (async two-job pair)
   python -m cocodr_tpu.cli preprocess-coco --data-dirs ... --out ...
+  python -m cocodr_tpu.cli encode --records ... --out emb.npy
+  python -m cocodr_tpu.cli serve --checkpoint ... --records ...  (stdin REPL)
   python -m cocodr_tpu.cli convert-hf --hf-dir ...
   python -m cocodr_tpu.cli export-hf --checkpoint ... --out ...
   python -m cocodr_tpu.cli presets
@@ -255,11 +257,113 @@ def cmd_preprocess_beir(args):
     from cocodr_tpu.pipelines.eval_beir import BeirEvalConfig, prepare_beir_task
 
     tokenizer = _load_tokenizer(args.tokenizer)
+    kw = {}
+    if args.query_len:
+        kw["query_len"] = args.query_len
+    if args.doc_len:
+        kw["doc_len"] = args.doc_len
     cfg = BeirEvalConfig.for_task(args.task or os.path.basename(
-        os.path.normpath(args.data_dir)))
+        os.path.normpath(args.data_dir)), **kw)
     prepare_beir_task(args.data_dir, args.out, tokenizer, cfg,
                       n_workers=args.n_workers)
     print(f"tokenized {args.data_dir} -> {args.out}")
+
+
+def cmd_encode(args):
+    """Encode a token-record file to .npy embeddings — the reference's
+    encode-only stage (evaluate/drivers/run_ann_data_gen.py:273-274
+    --inference; per-rank pickles become one device-encoded .npy + the
+    id map already sitting next to the records)."""
+    _setup_jax(args)
+    import numpy as np
+
+    from cocodr_tpu.data.native import open_token_cache
+    from cocodr_tpu.pipelines.encode import EncodeConfig, Encoder, encode_cache
+
+    mesh = _build_mesh(args)
+    model, params, _ = _load_model_params(args.checkpoint, args.model_type)
+    cache = open_token_cache(args.records)
+    enc = Encoder(
+        model, params, mesh=mesh, is_query=args.queries,
+        noise_level=args.noise_level,
+    )
+    ecfg = EncodeConfig(
+        batch_size=args.batch_size,
+        length_buckets=_parse_buckets(args.length_buckets),
+    )
+    chunk_len = getattr(model.cfg, "chunk_len", 0)
+    if chunk_len and cache.max_len > chunk_len:
+        from cocodr_tpu.pipelines.encode import encode_cache_multivector
+
+        emb, row2doc = encode_cache_multivector(
+            enc, cache, ecfg, chunk_len=chunk_len
+        )
+        np.save(args.out + ".rows.npy", row2doc)
+    else:
+        emb = encode_cache(enc, cache, ecfg)
+    np.save(args.out + ".tmp.npy", emb)
+    os.replace(args.out + ".tmp.npy", args.out)
+    print(json.dumps({
+        "out": args.out, "n": int(emb.shape[0]), "dim": int(emb.shape[1]),
+    }))
+
+
+def cmd_serve(args):
+    """Online retrieval REPL: one query per stdin line -> one JSON line of
+    the top-k (doc_id, score) pairs. Corpus embeddings come from --emb
+    (a .npy from `encode`) or are encoded at startup from --records."""
+    _setup_jax(args)
+    import sys as _sys
+
+    import numpy as np
+
+    from cocodr_tpu.pipelines.serve import RetrievalService, ServeConfig
+
+    model, params, _ = _load_model_params(args.checkpoint, args.model_type)
+    tokenizer = _load_tokenizer(args.tokenizer or args.checkpoint)
+    doc_ids = None
+    if args.emb:
+        corpus_emb = np.load(args.emb)
+    else:
+        from cocodr_tpu.data.native import open_token_cache
+        from cocodr_tpu.pipelines.encode import (
+            EncodeConfig,
+            Encoder,
+            encode_cache,
+        )
+
+        cache = open_token_cache(args.records)
+        corpus_emb = encode_cache(
+            Encoder(model, params, is_query=False),
+            cache,
+            EncodeConfig(batch_size=args.batch_size),
+        )
+    if args.id_map:
+        from cocodr_tpu.data.records import load_id_map
+
+        id2off = load_id_map(args.id_map)
+        off2id = {v: k for k, v in id2off.items()}
+        doc_ids = [off2id.get(i, i) for i in range(corpus_emb.shape[0])]
+    service = RetrievalService(
+        model, params, tokenizer, corpus_emb, doc_ids=doc_ids,
+        cfg=ServeConfig(
+            top_k=args.top_k,
+            fast_search=args.fast,
+            quantize_int8=args.int8,
+            exact_fp32=args.exact_fp32,
+        ),
+    )
+    print(json.dumps({"ready": True, "n_docs": int(corpus_emb.shape[0])}),
+          flush=True)
+    for line in _sys.stdin:
+        q = line.rstrip("\n")
+        if not q:
+            continue
+        vals, ids = service.search([q])
+        print(json.dumps({"query": q, "hits": [
+            {"id": str(d), "score": float(v)}
+            for d, v in zip(ids[0], vals[0])
+        ]}), flush=True)
 
 
 def cmd_warmup(args):
@@ -699,6 +803,36 @@ def main(argv=None):
     sp.add_argument("--result-num", type=int, default=0)
     sp.set_defaults(fn=cmd_eval_beir)
 
+    sp = sub.add_parser("encode")
+    _add_common(sp)
+    sp.add_argument("--checkpoint", required=True)
+    sp.add_argument("--records", required=True,
+                    help="token-record file (from preprocess-*)")
+    sp.add_argument("--out", required=True, help=".npy output path")
+    sp.add_argument("--model-type", default="rdot_nll_condenser")
+    sp.add_argument("--batch-size", type=int, default=512)
+    sp.add_argument("--queries", action="store_true",
+                    help="encode with query_emb (default: body_emb)")
+    sp.add_argument("--noise-level", type=float, default=0.0)
+    sp.add_argument("--length-buckets", default="")
+    sp.set_defaults(fn=cmd_encode)
+
+    sp = sub.add_parser("serve")
+    _add_common(sp)
+    sp.add_argument("--checkpoint", required=True)
+    sp.add_argument("--tokenizer", default=None)
+    sp.add_argument("--model-type", default="rdot_nll_condenser")
+    sp.add_argument("--records", default=None)
+    sp.add_argument("--emb", default=None, help=".npy corpus embeddings")
+    sp.add_argument("--id-map", default=None,
+                    help="docid2offset pickle for external ids")
+    sp.add_argument("--batch-size", type=int, default=512)
+    sp.add_argument("--top-k", type=int, default=10)
+    sp.add_argument("--fast", action="store_true")
+    sp.add_argument("--int8", action="store_true")
+    sp.add_argument("--exact-fp32", action="store_true")
+    sp.set_defaults(fn=cmd_serve)
+
     sp = sub.add_parser("preprocess-msmarco")
     sp.add_argument("--collection", required=True)
     sp.add_argument("--train-queries")
@@ -722,6 +856,8 @@ def main(argv=None):
     sp.add_argument("--tokenizer", required=True)
     sp.add_argument("--task", default=None)
     sp.add_argument("--n-workers", type=int, default=1)
+    sp.add_argument("--query-len", type=int, default=0)
+    sp.add_argument("--doc-len", type=int, default=0)
     sp.set_defaults(fn=cmd_preprocess_beir)
 
     sp = sub.add_parser("warmup")

@@ -162,3 +162,47 @@ def test_cli_warmup_and_eval_on_mesh(hf_checkpoint, tmp_path, capsys):
     out = capsys.readouterr().out
     metrics = json.loads(out[out.index("{"):])
     assert metrics["num_queries"] == 4
+
+
+def test_cli_encode_and_serve(hf_checkpoint, tmp_path, capsys, monkeypatch):
+    """encode -> .npy, then serve answers a stdin query against it."""
+    data_dir = _write_beir(tmp_path)
+    # tokenize via preprocess-beir
+    main([
+        "preprocess-beir",
+        "--data-dir", data_dir,
+        "--out", str(tmp_path / "rec"),
+        "--tokenizer", hf_checkpoint,
+        "--task", "smoke",
+        "--query-len", "8",
+        "--doc-len", "12",
+    ])
+    capsys.readouterr()
+    emb_path = str(tmp_path / "corpus.npy")
+    main([
+        "encode",
+        "--checkpoint", hf_checkpoint,
+        "--records", str(tmp_path / "rec" / "passages"),
+        "--out", emb_path,
+        "--batch-size", "4",
+        "--compile-cache", "",
+    ])
+    out = capsys.readouterr().out
+    info = json.loads(out[out.index("{"):])
+    assert info["n"] == 8
+
+    import io
+    monkeypatch.setattr("sys.stdin", io.StringIO("alpha filler\n"))
+    main([
+        "serve",
+        "--checkpoint", hf_checkpoint,
+        "--emb", emb_path,
+        "--id-map", str(tmp_path / "rec" / "passages.docid2offset.pickle"),
+        "--top-k", "3",
+        "--compile-cache", "",
+    ])
+    lines = [json.loads(line) for line in
+             capsys.readouterr().out.splitlines() if line.startswith("{")]
+    assert lines[0]["ready"] and lines[0]["n_docs"] == 8
+    assert len(lines[1]["hits"]) == 3
+    assert all(h["id"].startswith("d") for h in lines[1]["hits"])
