@@ -49,6 +49,10 @@ def _add_common(p):
     )
     p.add_argument("--log-dir", default=None,
                    help="TensorBoard + JSONL metrics directory")
+    p.add_argument("--profile-dir", default=None,
+                   help="capture a jax.profiler trace of the whole command "
+                        "into this directory (open with TensorBoard or "
+                        "Perfetto)")
 
 
 def _setup_jax(args):
@@ -945,6 +949,11 @@ def main(argv=None):
     sp.set_defaults(fn=cmd_convert_hf)
 
     args = p.parse_args(argv)
+    if getattr(args, "profile_dir", None):
+        import jax
+
+        with jax.profiler.trace(args.profile_dir):
+            return args.fn(args)
     return args.fn(args)
 
 

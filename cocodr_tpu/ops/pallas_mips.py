@@ -491,7 +491,7 @@ def mips_topk_int8(
     tile: int = 2048,
     fine: int = 8,
     coarse: int = 8,
-    q_tile: int = 512,
+    q_tile: int = 1024,
     supers: int = 8,
     interpret: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
