@@ -640,6 +640,13 @@ def _ance_setup(args):
     )
 
     cfg = PRESETS[args.preset]() if args.preset else AnceStageConfig.base()
+    if getattr(args, "loss_kind", None):
+        # the reference's --dro_type switch incl. its absence = plain NLL
+        # (ANCE/drivers/run_ann.py:903-906)
+        cfg = _dc.replace(cfg, loss_kind=args.loss_kind)
+    if getattr(args, "n_groups", 0):
+        cfg = _dc.replace(cfg, dro=_dc.replace(cfg.dro,
+                                               n_groups=args.n_groups))
     if getattr(args, "rewarmup", False):
         # per-episode LR re-warmup + cross-episode decay
         # (reference ANCE/drivers/run_ann.py:120-125,248-266)
@@ -892,6 +899,11 @@ def main(argv=None):
     sp.add_argument("--no-resume", action="store_true")
     sp.add_argument("--rewarmup", action="store_true",
                     help="episode-rewarmup LR schedule (re-warm per round)")
+    sp.add_argument("--loss-kind", default=None,
+                    choices=["nll", "dro-greedy", "idro"],
+                    help="override the preset loss (reference --dro_type; "
+                         "absent = plain NLL, run_ann.py:903-906)")
+    sp.add_argument("--n-groups", type=int, default=0)
     sp.add_argument("--length-buckets", default="")
     sp.add_argument("--no-dropout", action="store_true")
     sp.add_argument("--seed", type=int, default=0)
@@ -913,6 +925,9 @@ def main(argv=None):
         sp.add_argument("--seed", type=int, default=0)
         sp.add_argument("--result-dir", default=None,
                         help="per-BEIR-task group result dir for TB curves")
+        sp.add_argument("--loss-kind", default=None,
+                        choices=["nll", "dro-greedy", "idro"])
+        sp.add_argument("--n-groups", type=int, default=0)
         sp.add_argument("--length-buckets", default="")
         sp.set_defaults(fn=fn)
 

@@ -206,3 +206,45 @@ def test_cli_encode_and_serve(hf_checkpoint, tmp_path, capsys, monkeypatch):
     assert lines[0]["ready"] and lines[0]["n_docs"] == 8
     assert len(lines[1]["hits"]) == 3
     assert all(h["id"].startswith("d") for h in lines[1]["hits"])
+
+
+def test_cli_ance_rounds_on_mesh(hf_checkpoint, tmp_path, capsys):
+    """One full CLI `ance` round (mine -> train) on the 8-device mesh with
+    plain-NLL loss (the reference without --dro_type)."""
+    from cocodr_tpu.data.records import RecordWriter, write_qrels
+
+    rng = np.random.RandomState(0)
+    data = tmp_path / "marco"
+    data.mkdir()
+    with RecordWriter(str(data / "passages"), 12) as w:
+        for i in range(32):
+            w.write([2] + rng.randint(5, 18, size=6).tolist() + [3])
+    for name, n in (("train-query", 8), ("dev-query", 4)):
+        with RecordWriter(str(data / name), 8) as w:
+            for i in range(n):
+                w.write([2] + rng.randint(5, 18, size=3).tolist() + [3])
+    write_qrels(str(data / "train-qrel.tsv"),
+                [(q, q * 4, 1) for q in range(8)])
+    write_qrels(str(data / "dev-qrel.tsv"),
+                [(q, q * 4, 1) for q in range(4)])
+
+    main([
+        "ance",
+        "--data-dir", str(data),
+        "--checkpoint", hf_checkpoint,
+        "--ckpt-dir", str(tmp_path / "ck_ance"),
+        "--rounds", "1",
+        "--steps-per-round", "2",
+        "--batch-size", "8",
+        "--loss-kind", "nll",
+        "--mesh", "8x1",
+        "--compile-cache", "",
+    ])
+    out = capsys.readouterr().out
+    recs = [json.loads(line) for line in out.splitlines()
+            if line.startswith("{")]
+    rounds = [r for r in recs if "round" in r]
+    assert rounds and rounds[0]["steps"] >= 1
+    assert "ndcg" in rounds[0] or any("ndcg" in k for k in rounds[0])
+    # checkpoint written
+    assert os.path.isdir(str(tmp_path / "ck_ance"))
