@@ -218,3 +218,24 @@ def idro_loss(
     h = jnp.maximum(h, cfg.eps)
     new_state = state.replace(h_fun=h)
     return robust_loss, new_state, (gl_agg, counts_agg)
+
+
+def dro_state_summary(state: DroState) -> dict:
+    """Scalarized DRO state for logging — the reference's `output_state()`
+    JSON dump of per-group h_fun / running losses (ANCE/model/
+    models.py:275-280), reduced to TB-friendly scalars plus the full
+    vectors as lists."""
+    import numpy as np
+
+    h = np.asarray(state.h_fun)
+    sl = np.asarray(state.sum_losses)
+    p = h / max(h.sum(), 1e-30)
+    ent = float(-(p * np.log(np.maximum(p, 1e-30))).sum())
+    return {
+        "dro_h_min": float(h.min()),
+        "dro_h_max": float(h.max()),
+        "dro_h_entropy": ent,
+        "dro_loss_ema_mean": float(sl.mean()),
+        "dro_h_fun": h.tolist(),
+        "dro_sum_losses": sl.tolist(),
+    }

@@ -550,9 +550,17 @@ def train_loop(
             device_put=device_put,
         )
         if metrics_logger is not None:
-            metrics_logger.log(
-                int(state.step), {"ann_file": n, "steps": steps}, prefix="ance/"
-            )
+            rec = {"ann_file": n, "steps": steps}
+            from cocodr_tpu.losses.dro import DroState, dro_state_summary
+
+            if isinstance(state.extra, DroState):
+                # the reference dumps per-group h_fun / running losses via
+                # output_state() (ANCE/model/models.py:275-280)
+                rec.update({
+                    k: v for k, v in dro_state_summary(state.extra).items()
+                    if not isinstance(v, list)
+                })
+            metrics_logger.log(int(state.step), rec, prefix="ance/")
         save_checkpoint(ckpt_dir, state, keep=3)
         _write_progress(ckpt_dir, n)
         consumed += 1

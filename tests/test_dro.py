@@ -166,3 +166,17 @@ def test_idro_robust_loss_gradient_flows():
     g = jax.grad(f)(jnp.asarray([1.0, 2.0, 3.0, 4.0]))
     # d robust / d loss_i = h[g_i] / count[g_i]
     np.testing.assert_allclose(np.asarray(g), [1.0, 0.5, 0.5, 1.0], atol=1e-6)
+
+
+def test_dro_state_summary():
+    from cocodr_tpu.losses.dro import (
+        DroConfig,
+        dro_greedy_init,
+        dro_state_summary,
+    )
+
+    st = dro_greedy_init(DroConfig(n_groups=4))
+    s = dro_state_summary(st)
+    assert s["dro_h_min"] == s["dro_h_max"] == 1.0
+    assert abs(s["dro_h_entropy"] - np.log(4)) < 1e-6
+    assert len(s["dro_h_fun"]) == 4
