@@ -87,6 +87,11 @@ def build_coco_train_step(model, tx, cfg: CocoConfig) -> Callable:
         return jax.jit(step)
 
     C = cfg.cache_chunk_size
+    if cfg.batch_size % C:
+        raise ValueError(
+            f"grad-cache needs batch_size divisible by cache_chunk_size "
+            f"({cfg.batch_size} % {C} != 0)"
+        )
 
     def step(state: TrainState, batch, rng):
         B = batch["input_ids"].shape[0]
