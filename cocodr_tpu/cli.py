@@ -426,6 +426,11 @@ def cmd_warmup(args):
         if logger:
             logger.log(s, m, prefix="warmup/")
 
+    saver = None
+    if getattr(args, "async_checkpoint", False):
+        from cocodr_tpu.utils.train_state import AsyncSaver
+
+        saver = AsyncSaver()
     run_warmup(
         state,
         step,
@@ -437,7 +442,10 @@ def cmd_warmup(args):
         log_fn=log_fn,
         dropout_seed=None if args.no_dropout else args.seed,
         device_put=device_put,
+        saver=saver,
     )
+    if saver:
+        saver.close()
     if logger:
         logger.close()
 
@@ -886,6 +894,8 @@ def main(argv=None):
     sp.add_argument("--max-seq-len", type=int, default=0,
                     help="override the preset sequence length")
     sp.add_argument("--log-every", type=int, default=100)
+    sp.add_argument("--async-checkpoint", action="store_true",
+                    help="non-blocking orbax saves (DONE marker preserved)")
     sp.set_defaults(fn=cmd_warmup)
 
     sp = sub.add_parser("ance")

@@ -495,6 +495,7 @@ def train_loop(
     resume: bool = True,
     dropout_seed: Optional[int] = 0,
     metrics_logger=None,
+    saver=None,
     group_result_dir: Optional[str] = None,
     device_put: Callable = None,
 ):
@@ -561,9 +562,11 @@ def train_loop(
                     if not isinstance(v, list)
                 })
             metrics_logger.log(int(state.step), rec, prefix="ance/")
-        save_checkpoint(ckpt_dir, state, keep=3)
+        (saver.save if saver else save_checkpoint)(ckpt_dir, state, keep=3)
         _write_progress(ckpt_dir, n)
         consumed += 1
+    if saver:
+        saver.wait()
     return state
 
 

@@ -96,6 +96,7 @@ def run_warmup(
     resume: bool = True,
     dropout_seed: Optional[int] = 0,
     device_put: Optional[Callable] = None,
+    saver=None,
 ):
     """Returns the final TrainState. eval_fn(state) -> dict is called every
     cfg.eval_every_steps; log_fn(step, metrics) every cfg.log_every.
@@ -103,7 +104,9 @@ def run_warmup(
     dropout_seed: trains with dropout active (per-step key folded from the
     seed and the global step, so resume reproduces the same draws) — the
     reference finetunes with HF-default dropout 0.1
-    (ANCE/model/models.py:194-232). None trains deterministically."""
+    (ANCE/model/models.py:194-232). None trains deterministically.
+    saver: a utils.train_state.AsyncSaver for non-blocking checkpoints
+    (the DONE-marker protocol is preserved); None saves synchronously."""
     import jax
     import jax.numpy as jnp
 
@@ -155,10 +158,14 @@ def run_warmup(
         if log_fn and step % cfg.log_every == 0:
             log_fn(step, {k: float(np.asarray(v)) for k, v in metrics.items()})
         if cfg.save_steps and step % cfg.save_steps == 0:
-            save_checkpoint(ckpt_dir, state, keep=cfg.keep_checkpoints)
+            (saver.save if saver else save_checkpoint)(
+                ckpt_dir, state, keep=cfg.keep_checkpoints)
         if eval_fn and cfg.eval_every_steps and step % cfg.eval_every_steps == 0:
             eval_fn(state)
         if cfg.max_steps and step >= cfg.max_steps:
             break
-    save_checkpoint(ckpt_dir, state, keep=cfg.keep_checkpoints)
+    (saver.save if saver else save_checkpoint)(
+        ckpt_dir, state, keep=cfg.keep_checkpoints)
+    if saver:
+        saver.wait()
     return state

@@ -67,6 +67,59 @@ def save_checkpoint(root: str, state: TrainState, keep: int = 0):
     return path
 
 
+class AsyncSaver:
+    """Non-blocking checkpoint writer preserving the DONE-marker protocol.
+
+    `save()` snapshots the state to host and returns while orbax persists
+    it on a background thread; the DONE marker (the validity signal every
+    discovery path keys on — the reference's scheduler.pt-written-last
+    protocol, ANCE/drivers/run_ann.py:56-59) is only written AFTER the
+    payload commit, so a crash mid-save leaves an invisible, not a
+    corrupt, checkpoint. A save waits for the previous one (at most one
+    in flight); call `wait()` before exiting.
+    """
+
+    def __init__(self):
+        import orbax.checkpoint as ocp
+
+        self._ckptr = ocp.AsyncCheckpointer(ocp.PyTreeCheckpointHandler())
+        self._finalizer = None
+
+    def save(self, root: str, state: TrainState, keep: int = 0) -> str:
+        import threading
+
+        self.wait()
+        step = int(state.step)
+        path = _ckpt_dir(root, step)
+        if os.path.exists(path):
+            shutil.rmtree(path)
+        os.makedirs(path, exist_ok=True)
+        host_state = jax.device_get(state)  # snapshot: training may proceed
+        self._ckptr.save(
+            os.path.abspath(os.path.join(path, "state")), host_state
+        )
+
+        def finalize():
+            self._ckptr.wait_until_finished()
+            with open(os.path.join(path, DONE_MARKER), "w") as f:
+                json.dump({"step": step}, f)
+            if keep > 0:
+                prune_checkpoints(root, keep)
+
+        self._finalizer = threading.Thread(target=finalize, daemon=True)
+        self._finalizer.start()
+        return path
+
+    def wait(self):
+        if self._finalizer is not None:
+            self._finalizer.join()
+            self._finalizer = None
+
+    def close(self):
+        self.wait()
+        self._ckptr.close()
+
+
 def list_checkpoints(root: str):
     """Valid (DONE-marked) checkpoints, ascending by step."""
     if not os.path.isdir(root):

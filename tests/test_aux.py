@@ -171,3 +171,37 @@ def test_read_group_results(tmp_path):
     )
     out = read_group_results(str(tmp_path))
     assert out["scifact"]["ndcg"] == 0.5  # latest round wins
+
+
+def test_async_saver_done_protocol(tmp_path):
+    """AsyncSaver returns before the DONE marker exists, the checkpoint
+    becomes discoverable only after completion, and the payload restores
+    bit-identically."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    import optax
+
+    from cocodr_tpu.utils.train_state import (
+        AsyncSaver,
+        TrainState,
+        latest_checkpoint,
+        load_checkpoint,
+    )
+
+    params = {"w": jnp.arange(8, dtype=jnp.float32)}
+    tx = optax.sgd(1e-2)
+    state = TrainState.create(params, tx).replace(step=jnp.asarray(7))
+    saver = AsyncSaver()
+    path = saver.save(str(tmp_path), state, keep=2)
+    saver.wait()
+    assert latest_checkpoint(str(tmp_path)) == path
+    restored = load_checkpoint(path, TrainState.create(params, tx))
+    np.testing.assert_array_equal(np.asarray(restored.params["w"]),
+                                  np.arange(8, dtype=np.float32))
+    assert int(restored.step) == 7
+    # a second save waits for the first and prunes
+    state2 = state.replace(step=jnp.asarray(9))
+    saver.save(str(tmp_path), state2)
+    saver.close()
+    assert latest_checkpoint(str(tmp_path)).endswith("9")
