@@ -57,42 +57,63 @@ def kl_loss(input_logits: Array, target_logits: Array,
 def stable_kl_loss(input_logits: Array, target_logits: Array,
                    alpha: float = 1.0, epsilon: float = 1e-6) -> Array:
     """The reference's numerically-stabilized KL (loss.py `stable_kl`):
-    uses re-normalized probabilities with an epsilon floor."""
+    re-normalized probabilities with an epsilon floor. The rp/ry log-ratio
+    terms are DETACHED exactly like the reference (loss.py:13-14) — the
+    gradient flows only through the leading p factor."""
     p = _sm(input_logits)
     y = _sm(target_logits)
-    rp = -jnp.log(1.0 / (p + epsilon) - 1.0 + epsilon)
-    ry = -jnp.log(1.0 / (y + epsilon) - 1.0 + epsilon)
+    rp = jax.lax.stop_gradient(
+        -jnp.log(1.0 / (p + epsilon) - 1.0 + epsilon)
+    )
+    ry = jax.lax.stop_gradient(
+        -jnp.log(1.0 / (y + epsilon) - 1.0 + epsilon)
+    )
     return alpha * jnp.mean(jnp.sum(p * (rp - ry) * 2.0, axis=-1))
 
 
 def sym_kl_loss(input_logits: Array, target_logits: Array,
                 alpha: float = 1.0) -> Array:
-    """Symmetric KL (SymKlCriterion, imported by the warmup driver)."""
-    return alpha * 0.5 * (
-        kl_loss(input_logits, target_logits) + kl_loss(target_logits,
-                                                       input_logits)
-    )
+    """Symmetric KL (SymKlCriterion, imported by the warmup driver).
+
+    Reference semantics exactly (loss.py:112-127): each direction treats
+    the OPPOSING distribution as a constant (torch .detach()), terms sum
+    with no 0.5 factor, batchmean reduction:
+      KL(sg(p_t) || p_i) + KL(sg(p_i) || p_t).
+    """
+    p_t = jax.lax.stop_gradient(_sm(target_logits))
+    p_i = jax.lax.stop_gradient(_sm(input_logits))
+    lq_i = _lsm(input_logits)
+    lq_t = _lsm(target_logits)
+    lp_t = jnp.log(jnp.maximum(p_t, 1e-30))
+    lp_i = jnp.log(jnp.maximum(p_i, 1e-30))
+    term1 = jnp.sum(p_t * (lp_t - lq_i), axis=-1)
+    term2 = jnp.sum(p_i * (lp_i - lq_t), axis=-1)
+    return alpha * jnp.mean(term1 + term2)
 
 
 def js_loss(input_logits: Array, target_logits: Array,
             alpha: float = 1.0) -> Array:
-    p = _sm(input_logits)
-    q = _sm(target_logits)
-    m = 0.5 * (p + q)
-    lm = jnp.log(jnp.maximum(m, 1e-12))
-
-    def _kl_pm(pp):
-        lp = jnp.log(jnp.maximum(pp, 1e-12))
-        return jnp.sum(pp * (lp - lm), axis=-1)
-
-    return alpha * jnp.mean(0.5 * (_kl_pm(p) + _kl_pm(q)))
+    """JSCriterion semantics exactly (loss.py:145-163): m is the DETACHED
+    mean distribution, each term is torch kl_div(log_softmax(x), m) =
+    KL(m || p_x), summed with no 0.5 factor, batchmean reduction."""
+    m = jax.lax.stop_gradient(
+        0.5 * (_sm(input_logits) + _sm(target_logits))
+    )
+    lm = jnp.log(jnp.maximum(m, 1e-30))
+    kl_m_i = jnp.sum(m * (lm - _lsm(input_logits)), axis=-1)
+    kl_m_t = jnp.sum(m * (lm - _lsm(target_logits)), axis=-1)
+    return alpha * jnp.mean(kl_m_i + kl_m_t)
 
 
 def hellinger_loss(input_logits: Array, target_logits: Array,
                    alpha: float = 1.0) -> Array:
-    p = jnp.sqrt(_sm(input_logits))
-    q = jnp.sqrt(_sm(target_logits))
-    return alpha * jnp.mean(0.5 * jnp.sum(jnp.square(p - q), axis=-1))
+    """HLCriterion semantics exactly (loss.py:165-177): element-mean MSE of
+    the sqrt distributions, BOTH detached — the reference criterion emits
+    no gradient at all (a quirk preserved for parity; use js/sym_kl for a
+    differentiable divergence)."""
+    p = jax.lax.stop_gradient(jnp.sqrt(_sm(input_logits)))
+    q = jax.lax.stop_gradient(jnp.sqrt(_sm(target_logits)))
+    return alpha * jnp.mean(jnp.square(p - q))
 
 
 def rank_ce_loss(pos_scores: Array, neg_scores: Array,

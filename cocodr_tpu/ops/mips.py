@@ -291,15 +291,22 @@ def mips_topk_chunked_queries(
       'fast'     — pallas rescore-free block-argmax mode (~1.25x faster,
                    ~99.7% recall@100; see pallas_mips.mips_topk_fast);
       'blockmax' — force the XLA block-max path;
+      'refined'  — bf16 sweep + fp32 candidate rescore (XLA);
       'naive'    — per-tile sort sweep (reference-style; also the
                    exact_fp32 path).
     """
     import numpy as np
 
+    valid = ("auto", "pallas", "fast", "blockmax", "refined", "naive")
+    if method not in valid:
+        raise ValueError(f"method must be one of {valid}, got {method!r}")
     if kw.get("exact_fp32"):
         method = "naive"
     if method == "auto":
-        method = "pallas" if _tpu_like_backend() else "blockmax"
+        method = (
+            "pallas" if _tpu_like_backend()
+            else ("refined" if refine else "blockmax")
+        )
     if method in ("pallas", "fast") and not _tpu_like_backend():
         # Mosaic kernels need a TPU; exact XLA path is the honest fallback
         method = "blockmax"
@@ -319,12 +326,12 @@ def mips_topk_chunked_queries(
             v, i = mips_topk_blockmax(
                 qc, corpus, k, tile=min(kw.get("tile", 16384) * 4, 65536)
             )
-        elif refine and not kw.get("exact_fp32"):
+        elif method == "refined":
             v, i = mips_topk_refined(
                 qc, corpus, k, oversample=oversample,
                 tile=kw.get("tile", 16384), approx=kw.get("approx", False),
             )
-        else:
+        else:  # 'naive'
             v, i = mips_topk(qc, corpus, k, **kw)
         out_v.append(np.asarray(v))
         out_i.append(np.asarray(i))

@@ -34,18 +34,44 @@ def distributed_topk(local_vals, local_ids, k: int, axis_name: str):
 
 def sharded_mips_topk(queries, corpus_shard, shard_offset, k, axis_name,
                       tile=16384, approx=False, exact_fp32=False,
-                      n_valid=None):
-    """Per-device body: local exact MIPS over this device's corpus shard,
-    ids lifted to global space, then cross-shard merge.
+                      n_valid=None, method="auto"):
+    """Per-device body: local MIPS over this device's corpus shard, ids
+    lifted to global space, then cross-shard merge. The per-shard search
+    dispatches exactly like the single-device path: pallas hierarchical
+    (or 'fast' block-argmax) on TPU backends, XLA block-max elsewhere,
+    naive per-tile sort for exact_fp32 — so multi-chip mining/eval runs
+    the same kernels (and returns the same rankings) as one chip.
 
     n_valid: number of real rows in this shard (rows >= n_valid are padding
     added to equalize shard sizes; their hits are masked out)."""
-    from cocodr_tpu.ops.mips import mips_topk
-
-    vals, ids = mips_topk(
-        queries, corpus_shard, k, tile=tile, approx=approx,
-        exact_fp32=exact_fp32,
+    from cocodr_tpu.ops.mips import (
+        _tpu_like_backend,
+        mips_topk,
+        mips_topk_blockmax,
     )
+
+    if exact_fp32:
+        method = "naive"
+    if method == "auto":
+        method = "pallas" if _tpu_like_backend() else "blockmax"
+    if method in ("pallas", "fast") and not _tpu_like_backend():
+        method = "blockmax"
+    if method == "pallas":
+        from cocodr_tpu.ops.pallas_mips import mips_topk_hierarchical
+
+        vals, ids = mips_topk_hierarchical(queries, corpus_shard, k)
+    elif method == "fast":
+        from cocodr_tpu.ops.pallas_mips import mips_topk_fast
+
+        vals, ids = mips_topk_fast(queries, corpus_shard, k)
+    elif method == "blockmax":
+        vals, ids = mips_topk_blockmax(queries, corpus_shard, k,
+                                       tile=min(tile * 4, 65536))
+    else:
+        vals, ids = mips_topk(
+            queries, corpus_shard, k, tile=tile, approx=approx,
+            exact_fp32=exact_fp32,
+        )
     if n_valid is not None:
         pad_hit = ids >= n_valid
         vals = jnp.where(pad_hit, -jnp.inf, vals)
@@ -55,7 +81,8 @@ def sharded_mips_topk(queries, corpus_shard, shard_offset, k, axis_name,
 
 
 def mips_topk_sharded(queries, corpus, k: int, mesh, q_chunk: int = 4096,
-                      tile: int = 16384, exact_fp32: bool = False):
+                      tile: int = 16384, exact_fp32: bool = False,
+                      method: str = "auto"):
     """Host-level sharded exact search: corpus rows sharded over the mesh
     data axis, per-shard top-k, cross-shard merge on device. The TPU-native
     replacement for the reference's per-rank FAISS + pickled merge
@@ -87,7 +114,7 @@ def mips_topk_sharded(queries, corpus, k: int, mesh, q_chunk: int = 4096,
         n_valid = jnp.where(idx == n_data - 1, shard - pad, shard)
         return sharded_mips_topk(
             q, c, off, k, DATA_AXIS, tile=min(tile, shard),
-            exact_fp32=exact_fp32, n_valid=n_valid,
+            exact_fp32=exact_fp32, n_valid=n_valid, method=method,
         )
 
     f = jax.jit(
@@ -118,7 +145,7 @@ def search_topk(queries, corpus, k: int, mesh=None, q_chunk: int = 4096,
     if mesh is not None and mesh.shape[DATA_AXIS] > 1:
         return mips_topk_sharded(
             queries, corpus, k, mesh, q_chunk=q_chunk, tile=tile,
-            exact_fp32=exact_fp32,
+            exact_fp32=exact_fp32, method=method,
         )
     return mips_topk_chunked_queries(
         queries, corpus, k, q_chunk=q_chunk, tile=tile,

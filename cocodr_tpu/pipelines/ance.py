@@ -562,8 +562,15 @@ def train_loop(
                     if not isinstance(v, list)
                 })
             metrics_logger.log(int(state.step), rec, prefix="ance/")
-        (saver.save if saver else save_checkpoint)(ckpt_dir, state, keep=3)
-        _write_progress(ckpt_dir, n)
+        # ann_progress must never run ahead of checkpoint validity: a crash
+        # between them would resume from an older checkpoint but skip this
+        # ann file's training entirely
+        if saver:
+            saver.save(ckpt_dir, state, keep=3,
+                       on_complete=lambda n=n: _write_progress(ckpt_dir, n))
+        else:
+            save_checkpoint(ckpt_dir, state, keep=3)
+            _write_progress(ckpt_dir, n)
         consumed += 1
     if saver:
         saver.wait()

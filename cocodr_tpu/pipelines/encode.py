@@ -29,6 +29,41 @@ class EncodeConfig:
     length_buckets: tuple = ()
 
 
+# jitted-closure cache: mining constructs fresh Encoders every round
+# (pipelines/ance.mine), and a fresh jax.jit(closure) would re-trace (and
+# without a persistent compile cache, re-COMPILE) both encoder programs per
+# round. Keyed on the hashable flax module (frozen dataclass — equal
+# configs share entries), mesh, tower, and noise level.
+_ENCODE_FN_CACHE: dict = {}
+
+
+def _encode_fn(model, mesh, is_query: bool, noise_level: float):
+    key = (model, mesh, is_query, round(noise_level, 9))
+    hit = _ENCODE_FN_CACHE.get(key)
+    if hit is not None:
+        return hit
+    method = model.query_emb if is_query else model.body_emb
+    if noise_level > 0.0:
+        from cocodr_tpu.utils.misc import add_embedding_noise
+
+        def fn(p, ids, mask, key):
+            emb = model.apply({"params": p}, ids, mask, method=method)
+            return add_embedding_noise(emb, key, noise_level)
+    else:
+        def fn(p, ids, mask):
+            return model.apply({"params": p}, ids, mask, method=method)
+
+    if mesh is not None:
+        repl = NamedSharding(mesh, P())
+        dsh = NamedSharding(mesh, P(DATA_AXIS))
+        in_sh = (repl, dsh, dsh) + ((repl,) if noise_level > 0.0 else ())
+        jitted = jax.jit(fn, in_shardings=in_sh, out_shardings=dsh)
+    else:
+        jitted = jax.jit(fn)
+    _ENCODE_FN_CACHE[key] = jitted
+    return jitted
+
+
 class Encoder:
     """jit-compiled embedding function over a (possibly 1-device) mesh.
 
@@ -40,34 +75,16 @@ class Encoder:
                  noise_seed: int = 0):
         self.model = model
         self.mesh = mesh
-        method = model.query_emb if is_query else model.body_emb
-
         self._noise = noise_level > 0.0
         # fresh noise per batch: a host-side counter folded into the key
         # (the reference samples new noise every forward,
         # evaluate/model/models.py:81-89 — a fixed key would reuse one draw)
         self._noise_key = jax.random.PRNGKey(noise_seed)
         self._batch_no = 0
-        if self._noise:
-            from cocodr_tpu.utils.misc import add_embedding_noise
-
-            def fn(p, ids, mask, key):
-                emb = model.apply({"params": p}, ids, mask, method=method)
-                return add_embedding_noise(emb, key, noise_level)
-        else:
-            def fn(p, ids, mask):
-                return model.apply({"params": p}, ids, mask, method=method)
-
+        self._fn = _encode_fn(model, mesh, is_query, noise_level)
         if mesh is not None:
-            repl = NamedSharding(mesh, P())
-            dsh = NamedSharding(mesh, P(DATA_AXIS))
-            in_sh = (repl, dsh, dsh) + ((repl,) if self._noise else ())
-            self._fn = jax.jit(
-                fn, in_shardings=in_sh, out_shardings=dsh
-            )
-            self.params = jax.device_put(params, repl)
+            self.params = jax.device_put(params, NamedSharding(mesh, P()))
         else:
-            self._fn = jax.jit(fn)
             self.params = jax.device_put(params)
         self._batch_sharding = (
             NamedSharding(mesh, P(DATA_AXIS)) if mesh is not None else None

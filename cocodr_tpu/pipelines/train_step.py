@@ -55,18 +55,24 @@ class TrainStepConfig:
 
 
 def _embed_triplet(model, params, batch, dropout_rng=None):
-    rngs = {"dropout": dropout_rng} if dropout_rng is not None else None
     det = dropout_rng is None
 
-    def apply(ids, mask, method):
+    def apply(ids, mask, method, tower):
+        # distinct key per tower: the reference's three torch forwards draw
+        # INDEPENDENT dropout masks; a shared rngs dict would give the pos
+        # and neg towers byte-identical masks (same module paths)
+        rngs = (
+            None if det
+            else {"dropout": jax.random.fold_in(dropout_rng, tower)}
+        )
         return model.apply(
             {"params": params}, ids, mask, deterministic=det,
             method=method, rngs=rngs,
         )
 
-    q = apply(batch["q_ids"], batch["q_mask"], model.query_emb)
-    a = apply(batch["pos_ids"], batch["pos_mask"], model.body_emb)
-    b = apply(batch["neg_ids"], batch["neg_mask"], model.body_emb)
+    q = apply(batch["q_ids"], batch["q_mask"], model.query_emb, 0)
+    a = apply(batch["pos_ids"], batch["pos_mask"], model.body_emb, 1)
+    b = apply(batch["neg_ids"], batch["neg_mask"], model.body_emb, 2)
     return q, a, b
 
 

@@ -121,11 +121,14 @@ def run_warmup(
         jax.random.PRNGKey(dropout_seed) if dropout_seed is not None else None
     )
     # deterministic resume: fast-forward the batches the restored step
-    # already consumed (reference warmup driver :195-198)
+    # already consumed (reference warmup driver :195-198). Skipping happens
+    # BEFORE collation so resume costs file-read speed, not a full HF
+    # tokenization pass over every skipped batch.
     skip = int(state.step)
     step = int(state.step)
 
     def collate_stream():
+        nonlocal skip
         buf = []
         for epoch in range(cfg.num_epochs):
             for triple in stream_triples(triples_path):
@@ -133,6 +136,9 @@ def run_warmup(
                 if len(buf) < cfg.batch_size:
                     continue
                 triples, buf = buf, []
+                if skip > 0:
+                    skip -= 1
+                    continue
                 yield epoch, batcher.collate(triples)
 
     # tokenization runs prefetch-deep on a background thread so the device
@@ -142,9 +148,6 @@ def run_warmup(
 
     for _epoch, arrays in prefetch(collate_stream(), depth=2,
                                    device_put=False):
-        if skip > 0:
-            skip -= 1
-            continue
         batch = {k: jnp.asarray(v) for k, v in arrays.items()}
         if device_put is not None:
             batch = device_put(batch)

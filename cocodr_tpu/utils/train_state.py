@@ -85,7 +85,12 @@ class AsyncSaver:
         self._ckptr = ocp.AsyncCheckpointer(ocp.PyTreeCheckpointHandler())
         self._finalizer = None
 
-    def save(self, root: str, state: TrainState, keep: int = 0) -> str:
+    def save(self, root: str, state: TrainState, keep: int = 0,
+             on_complete=None) -> str:
+        """on_complete() runs AFTER the DONE marker is durable — use it for
+        any bookkeeping that must never run ahead of checkpoint validity
+        (e.g. the ANCE loop's ann-progress record: writing it before the
+        commit would skip a consumed-but-unsaved ann file on restart)."""
         import threading
 
         self.wait()
@@ -105,6 +110,8 @@ class AsyncSaver:
                 json.dump({"step": step}, f)
             if keep > 0:
                 prune_checkpoints(root, keep)
+            if on_complete is not None:
+                on_complete()
 
         self._finalizer = threading.Thread(target=finalize, daemon=True)
         self._finalizer.start()

@@ -15,6 +15,7 @@ from cocodr_tpu.losses.criteria import (
     js_loss,
     kl_loss,
     mse_loss,
+    stable_kl_loss,
     sym_kl_loss,
 )
 from cocodr_tpu.utils.misc import (
@@ -205,3 +206,61 @@ def test_async_saver_done_protocol(tmp_path):
     saver.save(str(tmp_path), state2)
     saver.close()
     assert latest_checkpoint(str(tmp_path)).endswith("9")
+
+
+def test_criteria_reference_exact_semantics():
+    """sym_kl / js / stable_kl / hellinger match the reference's torch
+    formulas in VALUE and GRADIENT structure (detach sides, no 0.5
+    factors, batchmean) — ANCE/model/loss.py:7-18,112-177."""
+    torch = pytest.importorskip("torch")
+    import torch.nn.functional as F
+
+    rng = np.random.RandomState(3)
+    a = rng.randn(5, 7).astype(np.float32)
+    b = rng.randn(5, 7).astype(np.float32)
+    ta = torch.tensor(a, requires_grad=True)
+    tb = torch.tensor(b, requires_grad=True)
+
+    # SymKl
+    ref = (F.kl_div(F.log_softmax(ta, -1), F.softmax(tb.detach(), -1),
+                    reduction="batchmean")
+           + F.kl_div(F.log_softmax(tb, -1), F.softmax(ta.detach(), -1),
+                      reduction="batchmean"))
+    got = sym_kl_loss(jnp.asarray(a), jnp.asarray(b))
+    assert float(got) == pytest.approx(float(ref), rel=1e-5)
+    ref.backward()
+    ga = jax.grad(lambda x: sym_kl_loss(x, jnp.asarray(b)))(jnp.asarray(a))
+    np.testing.assert_allclose(np.asarray(ga), ta.grad.numpy(),
+                               rtol=1e-4, atol=1e-6)
+
+    # JS
+    m = 0.5 * (F.softmax(ta.detach(), -1) + F.softmax(tb.detach(), -1))
+    ref_js = (F.kl_div(F.log_softmax(ta, -1), m, reduction="batchmean")
+              + F.kl_div(F.log_softmax(tb, -1), m, reduction="batchmean"))
+    got_js = js_loss(jnp.asarray(a), jnp.asarray(b))
+    assert float(got_js) == pytest.approx(float(ref_js), rel=1e-5)
+
+    # stable_kl: gradient flows only through the leading p factor
+    def torch_stable_kl(logit, target, epsilon=1e-6):
+        p = F.log_softmax(logit, 1).exp()
+        y = F.log_softmax(target, 1).exp()
+        rp = -(1.0 / (p + epsilon) - 1 + epsilon).detach().log()
+        ry = -(1.0 / (y + epsilon) - 1 + epsilon).detach().log()
+        return (p * (rp - ry) * 2).sum() / logit.size(0)
+
+    ta2 = torch.tensor(a, requires_grad=True)
+    ref_sk = torch_stable_kl(ta2, torch.tensor(b))
+    got_sk = stable_kl_loss(jnp.asarray(a), jnp.asarray(b))
+    assert float(got_sk) == pytest.approx(float(ref_sk), rel=1e-5)
+    ref_sk.backward()
+    gsk = jax.grad(lambda x: stable_kl_loss(x, jnp.asarray(b)))(jnp.asarray(a))
+    np.testing.assert_allclose(np.asarray(gsk), ta2.grad.numpy(),
+                               rtol=1e-4, atol=1e-6)
+
+    # hellinger: reference detaches BOTH sides -> zero gradient (quirk)
+    ref_h = F.mse_loss(F.softmax(torch.tensor(b), -1).sqrt(),
+                       F.softmax(torch.tensor(a), -1).sqrt())
+    got_h = hellinger_loss(jnp.asarray(a), jnp.asarray(b))
+    assert float(got_h) == pytest.approx(float(ref_h), rel=1e-5)
+    gh = jax.grad(lambda x: hellinger_loss(x, jnp.asarray(b)))(jnp.asarray(a))
+    assert float(jnp.abs(gh).max()) == 0.0

@@ -153,9 +153,13 @@ def test_full_recipe(world, tmp_path):
     step2 = build_train_step(de_model, tx2, TrainStepConfig(loss_kind="nll"))
     wcfg = WarmupConfig(max_seq_len=6, batch_size=10, num_epochs=20,
                         save_steps=0, log_every=100)
+    # deterministic training: this test asserts RECIPE improvement on a
+    # tiny synthetic world, where dropout noise at ~100 steps swamps the
+    # signal; stochastic-dropout behavior has its own tests
+    # (test_lifecycle.py)
     state2 = run_warmup(
         state2, step2, str(world["root"] / "triples.tsv"), tok, wcfg,
-        str(tmp_path / "warmup_ck"), resume=False,
+        str(tmp_path / "warmup_ck"), resume=False, dropout_seed=None,
     )
     assert int(state2.step) > 0
     ndcg_warmup = eval_ndcg(state2.params)
@@ -178,7 +182,7 @@ def test_full_recipe(world, tmp_path):
         state3, dev_m, steps = ance_round(
             state3, step3, de_model, batcher, pc, qc, world["positives"],
             qc, world["dev_qrels"], str(tmp_path / "ann"), rnd, mine_cfg,
-            batch_size=10, steps_per_round=20,
+            batch_size=10, steps_per_round=20, dropout_seed=None,
         )
     ndcg_final = eval_ndcg(state3.params)
 

@@ -287,3 +287,23 @@ def test_episode_decay_schedule_config():
         schedule="episode-decay",
     ).build()
     assert tx is not None
+
+
+def test_towers_draw_independent_dropout_masks():
+    """pos and neg towers on IDENTICAL inputs must differ under dropout —
+    the reference's three torch forwards draw independent masks."""
+    from cocodr_tpu.pipelines.train_step import _embed_triplet
+
+    bert = BertConfig.tiny()
+    model = build_dual_encoder("rdot_nll", bert)
+    ids = jnp.asarray(np.random.RandomState(0).randint(5, 90, (4, 8)),
+                      jnp.int32)
+    ones = jnp.ones((4, 8), jnp.int32)
+    batch = {"q_ids": ids, "q_mask": ones, "pos_ids": ids, "pos_mask": ones,
+             "neg_ids": ids, "neg_mask": ones}
+    params = model.init(jax.random.PRNGKey(0), ids, ones)["params"]
+    q, a, b = _embed_triplet(model, params, batch, jax.random.PRNGKey(5))
+    assert not np.allclose(np.asarray(a), np.asarray(b))
+    # deterministic path: identical inputs -> identical embeddings
+    _, a0, b0 = _embed_triplet(model, params, batch, None)
+    np.testing.assert_array_equal(np.asarray(a0), np.asarray(b0))

@@ -80,3 +80,24 @@ def test_episode_decay_stepwise_constant():
     vals = [float(fn(s)) for s in range(10, 20)]
     assert all(v == np.float32(0.9) for v in vals), vals
     assert float(fn(20)) == np.float32(0.8)
+
+
+def test_encoder_jit_cache_across_instances():
+    """Two Encoders over the same (model, mesh, tower) share one jitted
+    program — mining rebuilds Encoders every round and must not re-trace."""
+    import jax.numpy as jnp
+
+    from cocodr_tpu.models.bert import BertConfig
+    from cocodr_tpu.models.dual_encoder import build_dual_encoder
+    from cocodr_tpu.pipelines.encode import Encoder
+
+    model = build_dual_encoder("rdot_nll_condenser", BertConfig.tiny())
+    params = model.init(jax.random.PRNGKey(0), jnp.ones((1, 8), jnp.int32),
+                        jnp.ones((1, 8), jnp.int32))["params"]
+    e1 = Encoder(model, params, is_query=False)
+    e2 = Encoder(model, params, is_query=False)
+    assert e1._fn is e2._fn
+    assert e1._fn is not Encoder(model, params, is_query=True)._fn
+    ids = jnp.ones((2, 8), jnp.int32)
+    np.testing.assert_array_equal(np.asarray(e1(ids, ids)),
+                                  np.asarray(e2(ids, ids)))
