@@ -95,22 +95,25 @@ def _write_records_parallel(pairs, tokenizer, out_path: str, max_len: int,
          [t for _, t in pairs[i * step:(i + 1) * step]])
         for i in range(n_workers)
     ]
+    counts = [len(texts) for _, _, texts in jobs]
+    del pairs  # one corpus-sized text buffer, not two
     _WORKER_STATE["tokenizer"] = tokenizer
     _WORKER_STATE["max_len"] = max_len
     try:
         ctx = mp.get_context("fork")
         with ctx.Pool(n_workers) as pool:
             pool.map(_part_worker, jobs)
+        jobs = [(i, p, None) for i, p, _ in jobs]  # texts now on disk
         total = 0
         with open(out_path, "wb") as out:
-            for i, part_path, part_texts in jobs:
+            for (i, part_path, _), n_part in zip(jobs, counts):
                 with open(part_path, "rb") as pf:
                     while True:
                         block = pf.read(1 << 24)
                         if not block:
                             break
                         out.write(block)
-                total += len(part_texts)
+                total += n_part
         meta = {
             "type": "int32",
             "total_number": total,

@@ -330,7 +330,15 @@ class BertEncoder(nn.Module):
         if cfg.remat:
             policy = None
             if cfg.remat_policy:
-                policy = getattr(jax.checkpoint_policies, cfg.remat_policy)
+                policy = getattr(
+                    jax.checkpoint_policies, cfg.remat_policy, None
+                )
+                if policy is None:
+                    raise ValueError(
+                        f"unknown remat_policy {cfg.remat_policy!r}; valid "
+                        f"names are jax.checkpoint_policies attributes, "
+                        f"e.g. 'dots_saveable'"
+                    )
             body = nn.remat(
                 Body,
                 static_argnums=(),

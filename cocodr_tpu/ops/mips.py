@@ -277,6 +277,31 @@ def _tpu_like_backend() -> bool:
         return False
 
 
+SEARCH_METHODS = ("auto", "pallas", "fast", "blockmax", "refined", "naive")
+
+
+def resolve_search_method(method: str, refine: bool = True,
+                          exact_fp32: bool = False) -> str:
+    """One method-resolution rule for the single-device AND sharded search
+    dispatchers: validate, force 'naive' under exact_fp32, resolve 'auto'
+    by backend, and fall back to the exact XLA path where Mosaic kernels
+    are unavailable."""
+    if method not in SEARCH_METHODS:
+        raise ValueError(
+            f"method must be one of {SEARCH_METHODS}, got {method!r}"
+        )
+    if exact_fp32:
+        return "naive"
+    if method == "auto":
+        method = (
+            "pallas" if _tpu_like_backend()
+            else ("refined" if refine else "blockmax")
+        )
+    if method in ("pallas", "fast") and not _tpu_like_backend():
+        return "blockmax"
+    return method
+
+
 def mips_topk_chunked_queries(
     queries, corpus, k, q_chunk: int = 4096, refine: bool = True,
     oversample: int = 2, method: str = "auto", **kw
@@ -297,19 +322,9 @@ def mips_topk_chunked_queries(
     """
     import numpy as np
 
-    valid = ("auto", "pallas", "fast", "blockmax", "refined", "naive")
-    if method not in valid:
-        raise ValueError(f"method must be one of {valid}, got {method!r}")
-    if kw.get("exact_fp32"):
-        method = "naive"
-    if method == "auto":
-        method = (
-            "pallas" if _tpu_like_backend()
-            else ("refined" if refine else "blockmax")
-        )
-    if method in ("pallas", "fast") and not _tpu_like_backend():
-        # Mosaic kernels need a TPU; exact XLA path is the honest fallback
-        method = "blockmax"
+    method = resolve_search_method(
+        method, refine=refine, exact_fp32=bool(kw.get("exact_fp32"))
+    )
 
     out_v, out_i = [], []
     for s in range(0, queries.shape[0], q_chunk):

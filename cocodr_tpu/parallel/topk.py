@@ -34,7 +34,7 @@ def distributed_topk(local_vals, local_ids, k: int, axis_name: str):
 
 def sharded_mips_topk(queries, corpus_shard, shard_offset, k, axis_name,
                       tile=16384, approx=False, exact_fp32=False,
-                      n_valid=None, method="auto"):
+                      n_valid=None, method="auto", k_local=None):
     """Per-device body: local MIPS over this device's corpus shard, ids
     lifted to global space, then cross-shard merge. The per-shard search
     dispatches exactly like the single-device path: pallas hierarchical
@@ -43,33 +43,41 @@ def sharded_mips_topk(queries, corpus_shard, shard_offset, k, axis_name,
     the same kernels (and returns the same rankings) as one chip.
 
     n_valid: number of real rows in this shard (rows >= n_valid are padding
-    added to equalize shard sizes; their hits are masked out)."""
+    added to equalize shard sizes; their hits are masked out).
+    k_local: width of the per-shard search (>= k); the caller passes
+    k + pad so replicate-padding duplicates in the final shard cannot
+    evict real candidates from the local list before the mask."""
     from cocodr_tpu.ops.mips import (
-        _tpu_like_backend,
         mips_topk,
         mips_topk_blockmax,
+        mips_topk_refined,
+        resolve_search_method,
     )
 
-    if exact_fp32:
-        method = "naive"
-    if method == "auto":
-        method = "pallas" if _tpu_like_backend() else "blockmax"
-    if method in ("pallas", "fast") and not _tpu_like_backend():
-        method = "blockmax"
+    if k_local is None:
+        k_local = k
+    k_local = min(k_local, corpus_shard.shape[0])
+    method = resolve_search_method(method, exact_fp32=exact_fp32)
     if method == "pallas":
         from cocodr_tpu.ops.pallas_mips import mips_topk_hierarchical
 
-        vals, ids = mips_topk_hierarchical(queries, corpus_shard, k)
+        vals, ids = mips_topk_hierarchical(queries, corpus_shard, k_local)
     elif method == "fast":
         from cocodr_tpu.ops.pallas_mips import mips_topk_fast
 
-        vals, ids = mips_topk_fast(queries, corpus_shard, k)
+        vals, ids = mips_topk_fast(queries, corpus_shard, k_local)
     elif method == "blockmax":
-        vals, ids = mips_topk_blockmax(queries, corpus_shard, k,
-                                       tile=min(tile * 4, 65536))
+        # blockmax needs tile % block == 0 and a tile that exists even for
+        # tiny shards
+        bt = max(32, (min(tile * 4, 65536) // 32) * 32)
+        vals, ids = mips_topk_blockmax(queries, corpus_shard, k_local,
+                                       tile=bt)
+    elif method == "refined":
+        vals, ids = mips_topk_refined(queries, corpus_shard, k_local,
+                                      tile=tile)
     else:
         vals, ids = mips_topk(
-            queries, corpus_shard, k, tile=tile, approx=approx,
+            queries, corpus_shard, k_local, tile=tile, approx=approx,
             exact_fp32=exact_fp32,
         )
     if n_valid is not None:
@@ -115,6 +123,7 @@ def mips_topk_sharded(queries, corpus, k: int, mesh, q_chunk: int = 4096,
         return sharded_mips_topk(
             q, c, off, k, DATA_AXIS, tile=min(tile, shard),
             exact_fp32=exact_fp32, n_valid=n_valid, method=method,
+            k_local=k + pad,
         )
 
     f = jax.jit(

@@ -84,6 +84,7 @@ class AsyncSaver:
 
         self._ckptr = ocp.AsyncCheckpointer(ocp.PyTreeCheckpointHandler())
         self._finalizer = None
+        self._error = None
 
     def save(self, root: str, state: TrainState, keep: int = 0,
              on_complete=None) -> str:
@@ -105,22 +106,31 @@ class AsyncSaver:
         )
 
         def finalize():
-            self._ckptr.wait_until_finished()
-            with open(os.path.join(path, DONE_MARKER), "w") as f:
-                json.dump({"step": step}, f)
-            if keep > 0:
-                prune_checkpoints(root, keep)
-            if on_complete is not None:
-                on_complete()
+            try:
+                self._ckptr.wait_until_finished()
+                with open(os.path.join(path, DONE_MARKER), "w") as f:
+                    json.dump({"step": step}, f)
+                if keep > 0:
+                    prune_checkpoints(root, keep)
+                if on_complete is not None:
+                    on_complete()
+            except Exception as e:  # surfaced by the next wait()/save()
+                self._error = e
 
         self._finalizer = threading.Thread(target=finalize, daemon=True)
         self._finalizer.start()
         return path
 
     def wait(self):
+        """Joins the in-flight save and RE-RAISES any commit failure — a
+        checkpoint that silently failed to commit would otherwise be
+        discovered only at a much later resume."""
         if self._finalizer is not None:
             self._finalizer.join()
             self._finalizer = None
+        if self._error is not None:
+            err, self._error = self._error, None
+            raise RuntimeError("async checkpoint commit failed") from err
 
     def close(self):
         self.wait()

@@ -307,3 +307,27 @@ def test_towers_draw_independent_dropout_masks():
     # deterministic path: identical inputs -> identical embeddings
     _, a0, b0 = _embed_triplet(model, params, batch, None)
     np.testing.assert_array_equal(np.asarray(a0), np.asarray(b0))
+
+
+def test_sharded_search_pad_duplicates_cannot_evict_hits():
+    """Replicate-padding duplicates of the last corpus row (added to
+    equalize shard sizes) must not displace real candidates from the final
+    shard's local top-k (the local search widens to k + pad)."""
+    from cocodr_tpu.core.mesh import MeshConfig, create_mesh
+    from cocodr_tpu.parallel.topk import search_topk
+
+    mesh = create_mesh(MeshConfig(data=8, model=1))
+    rng = np.random.RandomState(0)
+    N, D, K = 51, 16, 3  # pad = 5 duplicate rows in the final shard
+    corpus = rng.randn(N, D).astype(np.float32)
+    queries = rng.randn(4, D).astype(np.float32)
+    corpus[N - 1] = queries[0] * 10  # the duplicated row IS q0's best doc
+    vals, ids = search_topk(queries, corpus, K, mesh=mesh, q_chunk=4,
+                            tile=8, exact_fp32=True)
+    assert (N - 1) in set(ids[0].tolist())
+    # and against plain numpy for the whole batch
+    ref_ids = np.argsort(-(queries @ corpus.T), axis=1)[:, :K]
+    for qi in range(4):
+        ref_vals = np.sort((queries @ corpus.T)[qi])[::-1][:K]
+        np.testing.assert_allclose(np.sort(vals[qi])[::-1], ref_vals,
+                                   rtol=1e-5)
