@@ -18,7 +18,7 @@ import numpy as np
 jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
 
 from cocodr_tpu.ops.pallas_mips import (
-    _dual_sweep_transposed,
+    _dual_sweep_mixed,
     mips_topk_hierarchical,
 )
 
@@ -51,7 +51,7 @@ def main():
     print(f"full search      : {ms:8.2f} ms  ({Q/ms*1e3:,.0f} QPS)", flush=True)
 
     sweep = jax.jit(functools.partial(
-        _dual_sweep_transposed, tile=TILE, fine=FINE, coarse=COARSE,
+        _dual_sweep_mixed, tile=TILE, fine=FINE, coarse=COARSE,
         q_tile=QTILE, interpret=False))
     ms_sweep, (bm_fine_t, bm_coarse_t) = timeit(sweep, queries, corpus)
     print(f"dual sweep       : {ms_sweep:8.2f} ms", flush=True)
