@@ -248,3 +248,28 @@ def test_cli_ance_rounds_on_mesh(hf_checkpoint, tmp_path, capsys):
     assert "ndcg" in rounds[0] or any("ndcg" in k for k in rounds[0])
     # checkpoint written
     assert os.path.isdir(str(tmp_path / "ck_ance"))
+
+
+def test_cli_export_roundtrip(hf_checkpoint, tmp_path, capsys):
+    """convert-hf reads a torch checkpoint; export-hf writes one back that
+    reloads with numerically identical embeddings."""
+    main(["convert-hf", "--hf-dir", hf_checkpoint])
+    out = capsys.readouterr().out
+    assert "params" in out
+
+    out_dir = str(tmp_path / "hf_out")
+    main(["export-hf", "--checkpoint", hf_checkpoint, "--out", out_dir])
+    capsys.readouterr()
+    assert os.path.exists(os.path.join(out_dir, "pytorch_model.bin"))
+    assert os.path.exists(os.path.join(out_dir, "config.json"))
+
+    import jax
+    import jax.numpy as jnp
+
+    m1, p1, _ = _load_model_params(hf_checkpoint, "rdot_nll_condenser")
+    m2, p2, _ = _load_model_params(out_dir, "rdot_nll_condenser")
+    ids = jnp.ones((2, 8), jnp.int32)
+    e1 = m1.apply({"params": p1}, ids, ids, method=m1.body_emb)
+    e2 = m2.apply({"params": p2}, ids, ids, method=m2.body_emb)
+    np.testing.assert_allclose(np.asarray(e1), np.asarray(e2),
+                               rtol=1e-6, atol=1e-6)
