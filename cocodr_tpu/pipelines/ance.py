@@ -430,18 +430,24 @@ def ance_round(
     return state, dev_metrics, steps
 
 
-def checkpoint_params_loader(ckpt_dir: str, template_state):
+def checkpoint_params_loader(ckpt_dir: str, template_state,
+                             initial: bool = True):
     """params_loader for mine_loop: latest valid checkpoint -> (name, params).
 
     Mirrors get_latest_checkpoint's validity protocol (reference
     ANCE/drivers/run_ann.py:51-67 — our DONE marker plays scheduler.pt's
-    role)."""
+    role). With initial=True an empty checkpoint dir yields
+    ("initial", template params) so the FIRST mining round runs from the
+    warmup checkpoint before the trainer has saved anything — the
+    reference miner's bootstrap (run_ann_data_gen.py:57-73 falls back to
+    the initial model path); otherwise the async pair would deadlock at
+    startup (miner waits for a checkpoint, trainer waits for ann data)."""
     from cocodr_tpu.utils.train_state import latest_checkpoint, load_checkpoint
 
     def load():
         path = latest_checkpoint(ckpt_dir)
         if path is None:
-            return None
+            return ("initial", template_state.params) if initial else None
         state = load_checkpoint(path, template_state)
         return os.path.basename(path), state.params
 

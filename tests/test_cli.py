@@ -273,3 +273,58 @@ def test_cli_export_roundtrip(hf_checkpoint, tmp_path, capsys):
     e2 = m2.apply({"params": p2}, ids, ids, method=m2.body_emb)
     np.testing.assert_allclose(np.asarray(e1), np.asarray(e2),
                                rtol=1e-6, atol=1e-6)
+
+
+def test_cli_async_two_job_pair(hf_checkpoint, tmp_path):
+    """The REAL async protocol across process boundaries: ance-mine and
+    ance-train as two concurrent CLI processes coupled only through the
+    filesystem (the reference's two torch.distributed.launch jobs).
+    Mining round 0 bootstraps from the initial checkpoint."""
+    import subprocess
+    import sys as _sys
+
+    from cocodr_tpu.data.records import RecordWriter, write_qrels
+
+    rng = np.random.RandomState(0)
+    data = tmp_path / "marco"
+    data.mkdir()
+    with RecordWriter(str(data / "passages"), 12) as w:
+        for i in range(24):
+            w.write([2] + rng.randint(5, 18, size=6).tolist() + [3])
+    for name, n in (("train-query", 8), ("dev-query", 4)):
+        with RecordWriter(str(data / name), 8) as w:
+            for i in range(n):
+                w.write([2] + rng.randint(5, 18, size=3).tolist() + [3])
+    write_qrels(str(data / "train-qrel.tsv"),
+                [(q, q * 3, 1) for q in range(8)])
+    write_qrels(str(data / "dev-qrel.tsv"),
+                [(q, q * 3, 1) for q in range(4)])
+
+    ck = str(tmp_path / "ck_pair")
+    common = [
+        "--data-dir", str(data), "--checkpoint", hf_checkpoint,
+        "--ckpt-dir", ck, "--rounds", "1", "--poll-secs", "1",
+        "--batch-size", "8", "--steps-per-round", "2",
+        "--loss-kind", "nll", "--cpu-devices", "1", "--compile-cache", "",
+    ]
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    miner = subprocess.Popen(
+        [_sys.executable, "-m", "cocodr_tpu.cli", "ance-mine", *common],
+        cwd="/root/repo", env=env,
+        stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+    )
+    trainer = subprocess.Popen(
+        [_sys.executable, "-m", "cocodr_tpu.cli", "ance-train", *common],
+        cwd="/root/repo", env=env,
+        stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+    )
+    mout, _ = miner.communicate(timeout=420)
+    tout, _ = trainer.communicate(timeout=420)
+    assert miner.returncode == 0, mout[-2000:]
+    assert trainer.returncode == 0, tout[-2000:]
+    ann = os.path.join(ck, "ann_data")
+    assert os.path.exists(os.path.join(ann, "ann_training_data_0")), mout[-1500:]
+    assert os.path.exists(os.path.join(ann, "ann_ndcg_0"))
+    from cocodr_tpu.utils.train_state import latest_checkpoint
+
+    assert latest_checkpoint(ck) is not None, tout[-1500:]
