@@ -4,7 +4,7 @@ The reference has no serving story (research pipelines only); production
 deployment is a first-class goal here. `RetrievalService` holds the corpus
 embeddings device-resident (bf16 HBM; ~1.5GB per million 768-d docs on one
 v5e) and answers text queries with one jitted encode + the pallas top-k
-(exact 34.8k QPS or rescore-free fast mode 42.7k QPS @1M docs; encode ~5k
+(exact ~36k QPS or rescore-free fast mode ~45k QPS @1M docs; encode ~5k
 queries/s) — a single chip serves thousands of queries per second end to
 end.
 """
