@@ -610,7 +610,14 @@ def cmd_coco(args):
         num_epochs=cfg.num_epochs,
     )
     tx = cfg.optimizer.build()
-    state = TrainState.create(params, tx)
+    mesh = _build_mesh(args)
+    device_put = None
+    if mesh is not None:
+        from cocodr_tpu.parallel.sharded_train import shard_train_init
+
+        state, device_put = shard_train_init(mesh, params, tx)
+    else:
+        state = TrainState.create(params, tx)
     step = build_coco_train_step(
         model,
         tx,
@@ -628,6 +635,7 @@ def cmd_coco(args):
         log_fn=lambda s, m: print(json.dumps({"step": s, **m})),
         ckpt_dir=args.ckpt_dir,
         save_steps=args.save_steps,
+        device_put=device_put,
     )
 
 

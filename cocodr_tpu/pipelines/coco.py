@@ -182,12 +182,19 @@ def run_coco_pretrain(
     log_every: int = 50,
     ckpt_dir: Optional[str] = None,
     save_steps: int = 0,
+    device_put: Optional[Callable] = None,
 ):
+    """device_put: shards each host batch over the mesh data axis (from
+    parallel.sharded_train.shard_train_setup) — the coCondenser global
+    contrastive batch then spans the whole mesh, with GSPMD inserting the
+    CLS all-gather the reference does by hand (COCO/modeling.py:182-190)."""
     from cocodr_tpu.utils.train_state import save_checkpoint
 
     for batch in span_batches:
         rng, step_rng = jax.random.split(rng)
         jb = {k: jnp.asarray(v) for k, v in batch.items()}
+        if device_put is not None:
+            jb = device_put(jb)
         state, metrics = train_step(state, jb, step_rng)
         step = int(state.step)
         if log_fn and step % log_every == 0:

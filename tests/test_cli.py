@@ -328,3 +328,33 @@ def test_cli_async_two_job_pair(hf_checkpoint, tmp_path):
     from cocodr_tpu.utils.train_state import latest_checkpoint
 
     assert latest_checkpoint(ck) is not None, tout[-1500:]
+
+
+def test_cli_coco_on_mesh(hf_checkpoint, tmp_path, capsys):
+    """COCO pretraining through the 8-device sharded path: batch docs (2
+    spans each) sharded over data, GSPMD inserting the contrastive
+    all-gather the reference hand-rolls (COCO/modeling.py:182-190)."""
+    data_dir = _write_beir(tmp_path)
+    main([
+        "preprocess-coco",
+        "--data-dirs", data_dir,
+        "--out", str(tmp_path / "spans_m"),
+        "--tokenizer", hf_checkpoint,
+    ])
+    capsys.readouterr()
+    main([
+        "coco",
+        "--train-dir", str(tmp_path / "spans_m"),
+        "--checkpoint", hf_checkpoint,
+        "--ckpt-dir", str(tmp_path / "coco_ck_m"),
+        "--batch-docs", "8",   # 16 spans over 8 devices
+        "--max-steps", "2",
+        "--max-seq-length", "16",
+        "--save-steps", "2",
+        "--mesh", "8x1",
+        "--compile-cache", "",
+    ])
+    from cocodr_tpu.utils.train_state import latest_checkpoint
+
+    ck = latest_checkpoint(str(tmp_path / "coco_ck_m"))
+    assert ck is not None and ck.endswith("2")  # both sharded steps ran
