@@ -358,3 +358,36 @@ def test_cli_coco_on_mesh(hf_checkpoint, tmp_path, capsys):
 
     ck = latest_checkpoint(str(tmp_path / "coco_ck_m"))
     assert ck is not None and ck.endswith("2")  # both sharded steps ran
+
+
+def test_cli_serve_from_records_fast_mode(hf_checkpoint, tmp_path, capsys,
+                                          monkeypatch):
+    """serve --records (encode at startup) with the fast search flag."""
+    import io
+
+    data_dir = _write_beir(tmp_path)
+    main([
+        "preprocess-beir",
+        "--data-dir", data_dir,
+        "--out", str(tmp_path / "rec2"),
+        "--tokenizer", hf_checkpoint,
+        "--task", "smoke",
+        "--query-len", "8",
+        "--doc-len", "12",
+    ])
+    capsys.readouterr()
+    monkeypatch.setattr("sys.stdin", io.StringIO("beta filler\n\n"))
+    main([
+        "serve",
+        "--checkpoint", hf_checkpoint,
+        "--records", str(tmp_path / "rec2" / "passages"),
+        "--top-k", "5",
+        "--fast",
+        "--batch-size", "4",
+        "--compile-cache", "",
+    ])
+    lines = [json.loads(line) for line in capsys.readouterr().out.splitlines()
+             if line.startswith("{")]
+    assert lines[0]["ready"] and lines[0]["n_docs"] == 8
+    assert len(lines[1]["hits"]) == 5
+    assert all(np.isfinite(h["score"]) for h in lines[1]["hits"])
