@@ -191,6 +191,7 @@ def cmd_eval_beir(args):
         top_k=args.top_k,
         exact_fp32=args.exact_fp32,
         length_buckets=_parse_buckets(args.length_buckets),
+        search_method=args.search_method,
         **kw,
     )
     if args.result_dir:
@@ -824,6 +825,9 @@ def main(argv=None):
     sp.add_argument("--length-buckets", default="",
                     help="comma-separated ascending encode widths (last >= "
                          "doc len), e.g. 64,128 — recovers padding waste")
+    sp.add_argument("--search-method", default="auto",
+                    choices=["auto", "pallas", "fast", "blockmax",
+                             "refined", "naive"])
     sp.add_argument("--result-dir", default=None,
                     help="write ann_ndcg_group_{task}_{n} for the ANCE "
                          "trainer's per-task TB curves")

@@ -46,6 +46,9 @@ class BeirEvalConfig:
     recall_ks: tuple = (10, 100, 1000)
     exact_fp32: bool = False
     length_buckets: tuple = ()  # bucketed corpus encode (see MineConfig)
+    # 'auto' (exact pallas on TPU) | 'fast' (block-argmax, ~99.98%
+    # recall@100) | 'pallas' | 'blockmax' | 'refined' | 'naive'
+    search_method: str = "auto"
 
     @classmethod
     def for_task(cls, task: str, **kw) -> "BeirEvalConfig":
@@ -144,6 +147,7 @@ def evaluate_beir_task(
     _, top_ids = search_topk(
         query_emb, corpus_emb, k, mesh=mesh, q_chunk=cfg.q_chunk,
         tile=cfg.mips_tile, exact_fp32=cfg.exact_fp32,
+        method=cfg.search_method,
     )
     if row2doc is not None:
         top_ids = np.where(top_ids >= 0, row2doc[top_ids], -1)
