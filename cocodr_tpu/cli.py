@@ -357,6 +357,7 @@ def cmd_serve(args):
             quantize_int8=args.int8,
             exact_fp32=args.exact_fp32,
         ),
+        mesh=_build_mesh(args),
     )
     print(json.dumps({"ready": True, "n_docs": int(corpus_emb.shape[0])}),
           flush=True)

@@ -41,10 +41,25 @@ class RetrievalService:
         corpus_emb: np.ndarray,
         doc_ids: Optional[Sequence] = None,
         cfg: ServeConfig = ServeConfig(),
+        mesh=None,
     ):
+        """mesh: a >1-device data mesh shards the corpus across chips and
+        serves with the cross-shard merge (parallel/topk) — each chip holds
+        N/n_chips docs resident, so a v5e-8 serves ~70M bf16 768-d docs.
+        The sharded search program is built ONCE here (unlike the offline
+        mips_topk_sharded, which re-uploads the corpus per call)."""
         self.cfg = cfg
         self.tokenizer = tokenizer
         self.doc_ids = doc_ids
+        self.mesh = None
+        self._sharded_search = None
+        if mesh is not None:
+            from cocodr_tpu.core.mesh import DATA_AXIS
+
+            if mesh.shape[DATA_AXIS] > 1:
+                self.mesh = mesh
+                self._init_sharded(model, params, corpus_emb, mesh)
+                return
         if cfg.quantize_int8 and not cfg.exact_fp32:
             from cocodr_tpu.ops.pallas_mips import quantize_corpus_int8
 
@@ -64,6 +79,59 @@ class RetrievalService:
         self._encode = jax.jit(
             lambda p, ids, mask: model.apply(
                 {"params": p}, ids, mask, method=model.query_emb
+            )
+        )
+
+    def _init_sharded(self, model, params, corpus_emb, mesh):
+        from jax import shard_map
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from cocodr_tpu.core.mesh import DATA_AXIS
+        from cocodr_tpu.parallel.topk import sharded_mips_topk
+
+        cfg = self.cfg
+        n_data = mesh.shape[DATA_AXIS]
+        N = corpus_emb.shape[0]
+        pad = (-N) % n_data
+        if pad:
+            corpus_emb = np.concatenate(
+                [corpus_emb, np.repeat(corpus_emb[-1:], pad, axis=0)]
+            )
+        shard = corpus_emb.shape[0] // n_data
+        dtype = jnp.float32 if cfg.exact_fp32 else jnp.bfloat16
+        self.corpus = jax.device_put(
+            jnp.asarray(corpus_emb, dtype),
+            NamedSharding(mesh, P(DATA_AXIS)),
+        )
+        self.dim_scale = None
+        self.params = jax.device_put(params, NamedSharding(mesh, P()))
+        self._model = model
+        self._encode = jax.jit(
+            lambda p, ids, mask: model.apply(
+                {"params": p}, ids, mask, method=model.query_emb
+            ),
+            in_shardings=(NamedSharding(mesh, P()),
+                          NamedSharding(mesh, P()),
+                          NamedSharding(mesh, P())),
+        )
+        k = cfg.top_k
+        method = "fast" if cfg.fast_search else "auto"
+
+        def search(q, c):
+            idx = jax.lax.axis_index(DATA_AXIS)
+            off = idx * shard
+            n_valid = jnp.where(idx == n_data - 1, shard - pad, shard)
+            return sharded_mips_topk(
+                q, c, off, k, DATA_AXIS, tile=min(16384, shard),
+                exact_fp32=cfg.exact_fp32, n_valid=n_valid, method=method,
+                k_local=k + pad,
+            )
+
+        self._sharded_search = jax.jit(
+            shard_map(
+                search, mesh=mesh,
+                in_specs=(P(), P(DATA_AXIS)),
+                out_specs=(P(), P()),
             )
         )
 
@@ -95,7 +163,11 @@ class RetrievalService:
         ids, mask = self._tokenize(queries + [""] * pad)
         emb = self._encode(self.params, jnp.asarray(ids), jnp.asarray(mask))
 
-        if self.cfg.exact_fp32:
+        if self._sharded_search is not None:
+            assert k <= self.cfg.top_k, "sharded program compiled for top_k"
+            vals, idx = self._sharded_search(emb, self.corpus)
+            vals, idx = vals[:, :k], idx[:, :k]
+        elif self.cfg.exact_fp32:
             vals, idx = mips_topk(emb, self.corpus, k, exact_fp32=True)
         elif _tpu_like_backend():
             from cocodr_tpu.ops.pallas_mips import (

@@ -101,3 +101,36 @@ def test_encoder_jit_cache_across_instances():
     ids = jnp.ones((2, 8), jnp.int32)
     np.testing.assert_array_equal(np.asarray(e1(ids, ids)),
                                   np.asarray(e2(ids, ids)))
+
+
+def test_retrieval_service_sharded_matches_single(tmp_path):
+    """Multi-chip serving: RetrievalService(mesh=8-dev) returns the same
+    hits as the single-device service, corpus resident-sharded."""
+    import transformers
+
+    from cocodr_tpu.core.mesh import MeshConfig, create_mesh
+    from cocodr_tpu.models.bert import BertConfig
+    from cocodr_tpu.models.dual_encoder import build_dual_encoder
+    from cocodr_tpu.pipelines.serve import RetrievalService, ServeConfig
+
+    vocab = "[PAD] [UNK] [CLS] [SEP] [MASK] alpha beta gamma delta".split()
+    (tmp_path / "vocab.txt").write_text("\n".join(vocab))
+    tok = transformers.BertTokenizerFast(
+        vocab_file=str(tmp_path / "vocab.txt"))
+    model = build_dual_encoder("rdot_nll_condenser", BertConfig.tiny())
+    import jax.numpy as jnp
+
+    params = model.init(jax.random.PRNGKey(0), jnp.ones((1, 8), jnp.int32),
+                        jnp.ones((1, 8), jnp.int32))["params"]
+    rng = np.random.RandomState(0)
+    corpus = rng.randn(51, 32).astype(np.float32)  # odd N: pad rows in play
+    cfg = ServeConfig(top_k=5, max_batch=4, max_query_len=8,
+                      exact_fp32=True)
+    single = RetrievalService(model, params, tok, corpus, cfg=cfg)
+    mesh = create_mesh(MeshConfig(data=8, model=1))
+    sharded = RetrievalService(model, params, tok, corpus, cfg=cfg,
+                               mesh=mesh)
+    v1, i1 = single.search(["alpha beta", "gamma"])
+    v2, i2 = sharded.search(["alpha beta", "gamma"])
+    np.testing.assert_allclose(np.asarray(v1), np.asarray(v2), rtol=1e-5)
+    assert [list(r) for r in i1] == [list(r) for r in i2]
