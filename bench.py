@@ -130,6 +130,45 @@ def bench_train_step(batch=64, seq=128, iters=10):
     return batch / best
 
 
+def bench_serve(n_docs=1_048_576, dim=768, batch=64, iters=5, best_of=3):
+    """End-to-end serving: tokenize + encode + exact top-10 at 1M docs."""
+    import pathlib
+    import tempfile
+
+    import transformers
+
+    from cocodr_tpu.pipelines.serve import RetrievalService, ServeConfig
+
+    d = pathlib.Path(tempfile.mkdtemp())
+    vocab = ["[PAD]", "[UNK]", "[CLS]", "[SEP]", "[MASK]"] + [
+        f"w{i}" for i in range(100)
+    ]
+    (d / "vocab.txt").write_text("\n".join(vocab))
+    tok = transformers.BertTokenizerFast(vocab_file=str(d / "vocab.txt"))
+    cfg = dataclasses.replace(BertConfig(), dtype=jnp.bfloat16)
+    model = build_dual_encoder("rdot_nll_condenser", cfg)
+    ids = jnp.ones((1, 64), jnp.int32)
+    params = model.init(jax.random.PRNGKey(0), ids, ids)["params"]
+    corpus = np.asarray(
+        jax.random.normal(jax.random.PRNGKey(0), (n_docs, dim), jnp.bfloat16),
+        np.float32,
+    )
+    svc = RetrievalService(
+        model, params, tok, corpus,
+        cfg=ServeConfig(top_k=10, max_batch=batch),
+    )
+    queries = [f"w{i % 90} w{(i * 7) % 90} w{(i * 13) % 90}"
+               for i in range(batch)]
+    svc.search(queries)  # compile
+    best = float("inf")
+    for _ in range(best_of):
+        t0 = time.time()
+        for _ in range(iters):
+            svc.search(queries)
+        best = min(best, (time.time() - t0) / iters)
+    return batch / best
+
+
 LAST_RESULT_PATH = os.path.join(os.path.dirname(__file__), ".bench_last.json")
 
 
@@ -175,6 +214,10 @@ def main():
         )
     except Exception as e:
         extras["train_error"] = str(e)[:200]
+    try:
+        extras["serve_qps_end_to_end_1M_docs"] = round(bench_serve(), 1)
+    except Exception as e:
+        extras["serve_error"] = str(e)[:200]
     result = {
         "metric": "corpus_encode_throughput_bert_base_bf16_s128",
         "value": round(docs_per_sec, 1),

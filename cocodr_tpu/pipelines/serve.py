@@ -5,7 +5,7 @@ deployment is a first-class goal here. `RetrievalService` holds the corpus
 embeddings device-resident (bf16 HBM; ~1.5GB per million 768-d docs on one
 v5e) and answers text queries with one jitted encode + the pallas top-k
 (exact ~36k QPS or rescore-free fast mode ~45k QPS @1M docs; encode ~5k
-queries/s) — measured ~850 end-to-end queries/s at 1M docs, batch 64, on
+queries/s) — measured ~900 end-to-end queries/s at 1M docs, batch 64, on
 one chip. With a mesh the resident corpus shards across chips (cross-
 shard merge on ICI; ~70M bf16 768-d docs on a v5e-8), and the int8 mode
 doubles per-chip capacity again. CLI: `cocodr_tpu serve` (stdin REPL).
