@@ -758,6 +758,11 @@ def cmd_ance_train(args):
         ),
     )
     logger = _metrics_logger(args)
+    saver = None
+    if getattr(args, "async_checkpoint", False):
+        from cocodr_tpu.utils.train_state import AsyncSaver
+
+        saver = AsyncSaver()
     train_loop(
         state,
         step,
@@ -778,7 +783,10 @@ def cmd_ance_train(args):
         metrics_logger=logger,
         group_result_dir=args.result_dir,
         device_put=device_put,
+        saver=saver,
     )
+    if saver:
+        saver.close()
     if logger:
         logger.close()
 
@@ -952,6 +960,7 @@ def main(argv=None):
                         choices=["nll", "dro-greedy", "idro"])
         sp.add_argument("--n-groups", type=int, default=0)
         sp.add_argument("--length-buckets", default="")
+        sp.add_argument("--async-checkpoint", action="store_true")
         sp.set_defaults(fn=fn)
 
     sp = sub.add_parser("export-hf")
