@@ -30,7 +30,10 @@ class ServeConfig:
     # recall@100 — pallas_mips.mips_topk_fast); ignored with exact_fp32
     fast_search: bool = False
     # int8-quantized corpus: half the HBM (~17M 768-d docs/chip) at the
-    # same search latency (pallas_mips.mips_topk_int8); TPU backends only
+    # same search latency (pallas_mips.mips_topk_int8); TPU backends only.
+    # Single-device mode: with a >1-device mesh the corpus shards in
+    # bf16/f32 (mesh capacity already scales linearly; combine the two
+    # when per-chip HBM is the binding constraint by quantizing offline)
     quantize_int8: bool = False
 
 
