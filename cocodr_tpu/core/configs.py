@@ -78,7 +78,10 @@ class OptimizerConfig:
 
 @dataclasses.dataclass(frozen=True)
 class CocoStageConfig:
-    """COCO pretraining (reference COCO/README.md Key Hyperparameter)."""
+    """COCO pretraining (reference COCO/README.md Key Hyperparameter;
+    field parity with COCO/arguments.py:20-134 — mlm_probability :66-68,
+    n_head_layers/skip_from/late_mlm :120-122, warmup_ratio :127,
+    cache_chunk_size :134)."""
 
     bert: BertConfig = BertConfig()
     optimizer: OptimizerConfig = OptimizerConfig(lr=1e-4, schedule="linear")
