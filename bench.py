@@ -171,66 +171,147 @@ def bench_serve(n_docs=1_048_576, dim=768, batch=64, iters=5, best_of=3):
 
 LAST_RESULT_PATH = os.path.join(os.path.dirname(__file__), ".bench_last.json")
 
+# Mutated in place as each sub-bench lands, so the global watchdog can emit
+# every fresh number collected so far instead of replaying the whole cache.
+RESULT = {}
 
-def _watchdog(seconds=900):
-    """The remote compile service can wedge for tens of minutes (see
-    .claude/skills/verify/SKILL.md); emit the last known-good result with a
-    stale marker instead of hanging the driver."""
+
+def _load_cache():
+    try:
+        with open(LAST_RESULT_PATH) as f:
+            return json.load(f)
+    except (OSError, ValueError):
+        return {}
+
+
+def _emit(result):
+    cache = _load_cache()
+    stale_keys = [
+        k for k in cache
+        if k not in result and not k.startswith("stale")
+        and not k.endswith("_error")
+    ]
+    if stale_keys:
+        for k in stale_keys:
+            result[k] = cache[k]
+        result["stale"] = True
+        result["stale_reason"] = (
+            "timed-out metrics replayed from cache: " + ",".join(stale_keys)
+        )
+    if "metric" not in result:  # encode failed AND no cache to fall back on
+        result.update({
+            "metric": "corpus_encode_throughput_bert_base_bf16_s128",
+            "value": 0, "unit": "docs/sec/chip", "vs_baseline": 0,
+        })
+    # Re-order: headline keys first for readability.
+    ordered = {k: result[k] for k in ("metric", "value", "unit", "vs_baseline")
+               if k in result}
+    ordered.update({k: v for k, v in result.items() if k not in ordered})
+    print(json.dumps(ordered))
+
+
+class _BenchTimeout(Exception):
+    pass
+
+
+def _run(fn, budget, retries=1):
+    """Run fn under a SIGALRM budget; retry once with a fresh alarm before
+    giving up (the remote compile service wedges transiently — a retry
+    usually lands because the persistent cache has the partial compiles)."""
+    import signal
+
+    def on_alarm(signum, frame):
+        raise _BenchTimeout()
+
+    for _ in range(retries + 1):
+        old = signal.signal(signal.SIGALRM, on_alarm)
+        signal.alarm(budget)
+        try:
+            return fn()
+        except _BenchTimeout:
+            continue
+        finally:
+            signal.alarm(0)
+            signal.signal(signal.SIGALRM, old)
+    raise _BenchTimeout(f"timed out twice ({budget}s budget)")
+
+
+def _finalize():
+    """Persist fresh metrics into the per-metric cache (merge, never
+    clobber: a partial run must not destroy the cached values it would
+    fall back on), then emit."""
+    cache = {
+        k: v for k, v in _load_cache().items()
+        if not k.startswith("stale") and not k.endswith("_error")
+    }
+    fresh = {k: v for k, v in RESULT.items() if not k.endswith("_error")}
+    try:
+        with open(LAST_RESULT_PATH, "w") as f:
+            json.dump({**cache, **fresh}, f)
+    except OSError:
+        pass
+    _emit(RESULT)
+
+
+def _watchdog(seconds=1500):
+    """Last-resort guard: if the whole bench wedges, emit what was measured
+    so far (plus cached values for the rest) instead of hanging the driver."""
     import signal
 
     def on_timeout(signum, frame):
-        try:
-            with open(LAST_RESULT_PATH) as f:
-                result = json.load(f)
-            result["stale"] = True
-            result["stale_reason"] = "bench timeout (TPU compile service wedged)"
-            print(json.dumps(result))
-        except OSError:
-            print(json.dumps({
-                "metric": "corpus_encode_throughput_bert_base_bf16_s128",
-                "value": 0,
-                "unit": "docs/sec/chip",
-                "vs_baseline": 0,
-                "error": "bench timeout, no cached result",
-            }))
+        _finalize()
         os._exit(0)
 
     signal.signal(signal.SIGALRM, on_timeout)
     signal.alarm(seconds)
 
 
+def _preimport():
+    """Import every heavy module BEFORE any alarm can fire: a _BenchTimeout
+    raised mid-import leaves a half-initialized module that poisons the
+    in-process retry (observed: pallas config double-registration)."""
+    import transformers  # noqa: F401
+
+    import cocodr_tpu.ops.pallas_mips  # noqa: F401
+    import cocodr_tpu.optim  # noqa: F401
+    import cocodr_tpu.pipelines.serve  # noqa: F401
+    import cocodr_tpu.pipelines.train_step  # noqa: F401
+    import cocodr_tpu.utils.train_state  # noqa: F401
+
+
 def main():
+    _preimport()
     _watchdog()
-    docs_per_sec, ms_per_batch = bench_encode()
-    extras = {"encode_ms_per_batch_256x128": round(ms_per_batch, 2)}
+    # Serve first: it compiles the most wedge-prone shapes (tokenize +
+    # encode + search in one graph) — run them while the compile service
+    # is fresh rather than last.
     try:
-        extras["mips_exact_qps_1M_docs_k100"] = round(bench_mips(), 1)
-        extras["mips_fast_qps_1M_docs_k100"] = round(bench_mips(fast=True), 1)
-    except Exception as e:  # MIPS bench is best-effort (long compile)
-        extras["mips_error"] = str(e)[:200]
-    try:
-        extras["train_triplets_per_sec_bert_base"] = round(
-            bench_train_step(), 1
+        RESULT["serve_qps_end_to_end_1M_docs"] = round(
+            _run(bench_serve, budget=420), 1
         )
     except Exception as e:
-        extras["train_error"] = str(e)[:200]
+        RESULT["serve_error"] = str(e)[:200]
     try:
-        extras["serve_qps_end_to_end_1M_docs"] = round(bench_serve(), 1)
+        docs_per_sec, ms_per_batch = _run(bench_encode, budget=240)
+        RESULT.update({
+            "metric": "corpus_encode_throughput_bert_base_bf16_s128",
+            "value": round(docs_per_sec, 1),
+            "unit": "docs/sec/chip",
+            "vs_baseline": round(docs_per_sec / GPU_BASELINE_DOCS_PER_SEC, 2),
+            "encode_ms_per_batch_256x128": round(ms_per_batch, 2),
+        })
     except Exception as e:
-        extras["serve_error"] = str(e)[:200]
-    result = {
-        "metric": "corpus_encode_throughput_bert_base_bf16_s128",
-        "value": round(docs_per_sec, 1),
-        "unit": "docs/sec/chip",
-        "vs_baseline": round(docs_per_sec / GPU_BASELINE_DOCS_PER_SEC, 2),
-        **extras,
-    }
-    try:
-        with open(LAST_RESULT_PATH, "w") as f:
-            json.dump(result, f)
-    except OSError:
-        pass
-    print(json.dumps(result))
+        RESULT["encode_error"] = str(e)[:200]  # headline filled by _emit
+    for key, fn, budget in (
+        ("mips_exact_qps_1M_docs_k100", bench_mips, 300),
+        ("mips_fast_qps_1M_docs_k100", lambda: bench_mips(fast=True), 240),
+        ("train_triplets_per_sec_bert_base", bench_train_step, 240),
+    ):
+        try:
+            RESULT[key] = round(_run(fn, budget=budget), 1)
+        except Exception as e:
+            RESULT[key + "_error"] = str(e)[:200]
+    _finalize()
 
 
 if __name__ == "__main__":

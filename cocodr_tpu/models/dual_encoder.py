@@ -44,10 +44,18 @@ def pool(hidden, mask, method: str):
 
 
 class ProjectionHead(nn.Module):
-    """linear(hidden -> out_dim) + LayerNorm (rdot_nll head)."""
+    """linear(hidden -> out_dim) + LayerNorm (rdot_nll head).
+
+    The reference builds the head norm as `nn.LayerNorm(768)` — torch's
+    DEFAULT eps=1e-5, NOT the encoder's config eps (reference
+    ANCE/model/models.py:109-110). Published checkpoints were trained with
+    1e-5 here even when the backbone uses 1e-12, so the head eps is fixed,
+    independent of cfg.layer_norm_eps (caught by
+    tests/test_parity_pipeline.py::test_rdot_nll_head_roberta_pipeline...)."""
 
     cfg: BertConfig
     out_dim: int = 768
+    ln_eps: float = 1e-5  # torch nn.LayerNorm default
 
     @nn.compact
     def __call__(self, x):
@@ -58,7 +66,7 @@ class ProjectionHead(nn.Module):
             dtype=self.cfg.dtype,
             name="dense",
         )(x)
-        return LayerNorm(self.cfg.layer_norm_eps, self.cfg.dtype, name="layer_norm")(x)
+        return LayerNorm(self.ln_eps, self.cfg.dtype, name="layer_norm")(x)
 
 
 @dataclasses.dataclass(frozen=True)

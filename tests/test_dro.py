@@ -153,6 +153,136 @@ def test_idro_matches_spec():
     np.testing.assert_allclose(np.asarray(gc), counts, atol=1e-6)
 
 
+def test_idro_matches_torch_reference_world_size_1():
+    """idro_loss + per_group_grads vs the reference torch iDROLoss module
+    (ANCE/model/dro_loss.py:160-254) run step-by-step at world size 1 —
+    where the documented global-update deviation vanishes, so the h_fun
+    trajectory, robust loss, per-group grads and the end-to-end training
+    gradient must all match exactly."""
+    ref_mod = _load_reference_dro()
+    G, B, D = 5, 24, 6
+    cfg = DroConfig(n_groups=G, alpha=0.25, eps=0.01, ema=0.1, rho=0.05)
+
+    class _Dist:  # world-size-1 stand-ins for torch.distributed
+        @staticmethod
+        def all_reduce(t, *a, **k):
+            return t
+
+        @staticmethod
+        def get_world_size():
+            return 1
+
+    old_dist = ref_mod.dist
+    ref_mod.dist = _Dist
+    try:
+        ref = ref_mod.iDROLoss(
+            None, n_groups=G, alpha=cfg.alpha, eps=cfg.eps, ema=cfg.ema,
+            rho=cfg.rho,
+        )
+        ref.train()
+        torch.manual_seed(0)
+        tmodel = torch.nn.Linear(D, 1, bias=True)
+        # the reference selects "last k layers" by name (dro_loss.py:174-190);
+        # param selection is orthogonal to the math — use all params here
+        ref._params = lambda model: list(tmodel.parameters())
+
+        w0 = tmodel.weight.detach().numpy().copy()  # [1, D]
+        b0 = tmodel.bias.detach().numpy().copy()  # [1]
+        params = {"w": jnp.asarray(w0[0]), "b": jnp.asarray(b0[0])}
+        state = idro_init(cfg)
+        rng = np.random.RandomState(3)
+
+        for step in range(4):
+            x = rng.randn(B, D).astype(np.float32)
+            groups = rng.randint(0, G - 1, size=B)  # keep one group empty
+            xt = torch.tensor(x)
+            gt = torch.tensor(groups, dtype=torch.long)
+
+            out = tmodel(xt).squeeze(-1)
+            t_losses = out * out
+            r_robust, r_gl, r_gc = ref(tmodel, t_losses, gt)
+            tmodel.zero_grad()
+            r_robust.backward(retain_graph=True)  # group-grad checks below
+            r_grad_w = tmodel.weight.grad.numpy()[0]
+            r_grad_b = tmodel.bias.grad.numpy()[0]
+
+            xj = jnp.asarray(x)
+            gj = jnp.asarray(groups)
+
+            def per_sample(p):
+                o = xj @ p["w"] + p["b"]
+                return o * o
+
+            losses, pullback = jax.vjp(per_sample, params)
+            ggrads = per_group_grads(pullback, gj, G)
+
+            def robust_of(p):
+                r, _, _ = idro_loss(per_sample(p), gj, state, cfg, ggrads)
+                return r
+
+            o_robust, new_state, (o_gl, o_gc) = idro_loss(
+                losses, gj, state, cfg, ggrads
+            )
+            o_grads = jax.grad(robust_of)(params)
+
+            np.testing.assert_allclose(
+                float(o_robust), float(r_robust.detach()), rtol=1e-5,
+                atol=1e-6,
+                err_msg=f"robust loss step {step}",
+            )
+            np.testing.assert_allclose(
+                np.asarray(new_state.h_fun), ref.h_fun.detach().numpy(),
+                rtol=1e-4, atol=1e-6, err_msg=f"h_fun step {step}",
+            )
+            np.testing.assert_allclose(
+                np.asarray(o_gl), r_gl.numpy(), rtol=1e-5, atol=1e-6
+            )
+            np.testing.assert_allclose(
+                np.asarray(o_gc), r_gc.numpy(), atol=1e-6
+            )
+            np.testing.assert_allclose(
+                np.asarray(o_grads["w"]), r_grad_w, rtol=1e-4, atol=1e-6,
+                err_msg=f"training grad step {step}",
+            )
+            np.testing.assert_allclose(
+                np.asarray(o_grads["b"]), r_grad_b, rtol=1e-4, atol=1e-6
+            )
+            # per-group grads: reference computes grad of each group-mean
+            # loss wrt params, flattened [G, P] (dro_loss.py:193-204)
+            tparams = list(tmodel.parameters())
+            for gi in range(G):
+                cnt = int((groups == gi).sum())
+                if cnt == 0:
+                    np.testing.assert_allclose(
+                        np.asarray(ggrads[gi]), 0.0, atol=1e-7
+                    )
+                    continue
+                gl_gi = t_losses[torch.tensor(groups == gi)].sum() / cnt
+                tg = torch.autograd.grad(
+                    gl_gi, tparams, retain_graph=True
+                )
+                flat = torch.cat([t.reshape(-1) for t in tg]).numpy()
+                ours = np.asarray(ggrads[gi])
+                # torch order: [weight (D), bias (1)]; jax ravel_pytree
+                # orders dict keys alphabetically: [b (1), w (D)]
+                np.testing.assert_allclose(
+                    ours[1:], flat[:D], rtol=1e-4, atol=1e-6
+                )
+                np.testing.assert_allclose(
+                    ours[0], flat[D], rtol=1e-4, atol=1e-6
+                )
+
+            state = new_state
+            params = jax.tree_util.tree_map(
+                lambda p, g: p - 0.1 * g, params, o_grads
+            )
+            with torch.no_grad():
+                tmodel.weight -= 0.1 * tmodel.weight.grad
+                tmodel.bias -= 0.1 * tmodel.bias.grad
+    finally:
+        ref_mod.dist = old_dist
+
+
 def test_idro_robust_loss_gradient_flows():
     cfg = DroConfig(n_groups=3)
     state = idro_init(cfg)
