@@ -605,13 +605,27 @@ def cmd_coco(args):
         max_seq_length=max_seq,
     )
     span_files = sorted(_glob.glob(os.path.join(args.train_dir, "*.jsonl")))
-    batches = span_batches(
-        span_files,
-        collator,
-        docs_per_batch=args.batch_docs or cfg.per_device_batch_docs,
-        num_epochs=cfg.num_epochs,
+    docs_per_batch = args.batch_docs or cfg.per_device_batch_docs
+
+    # warmup_ratio -> warmup steps from the actual step budget (reference
+    # COCO/trainer.py:66-70: warmup_steps = num_training_steps * ratio)
+    from cocodr_tpu.data.coco_spans import count_span_batches
+
+    total_steps = count_span_batches(
+        span_files, docs_per_batch, cfg.num_epochs
     )
-    tx = cfg.optimizer.build()
+    if args.max_steps:
+        total_steps = min(total_steps, args.max_steps) or args.max_steps
+    opt_cfg = cfg.optimizer
+    if cfg.warmup_ratio > 0 and total_steps > 0:
+        import dataclasses as _dc
+
+        opt_cfg = _dc.replace(
+            opt_cfg,
+            warmup_steps=cfg.warmup_steps_for(total_steps),
+            total_steps=total_steps,
+        )
+    tx = opt_cfg.build()
     mesh = _build_mesh(args)
     device_put = None
     if mesh is not None:
@@ -620,6 +634,26 @@ def cmd_coco(args):
         state, device_put = shard_train_init(mesh, params, tx)
     else:
         state = TrainState.create(params, tx)
+
+    # resume from the latest DONE checkpoint (the reference resumes via the
+    # HF Trainer's model_path, COCO/run_coco_pre_training.py:146-152)
+    from cocodr_tpu.utils.train_state import latest_checkpoint, load_checkpoint
+
+    start_step = 0
+    if not args.no_resume and args.ckpt_dir:
+        ck = latest_checkpoint(args.ckpt_dir)
+        if ck:
+            state = load_checkpoint(ck, state)
+            start_step = int(state.step)
+            print(f"resumed from {ck} (step {start_step})")
+
+    batches = span_batches(
+        span_files,
+        collator,
+        docs_per_batch=docs_per_batch,
+        num_epochs=cfg.num_epochs,
+        start_batch=start_step,
+    )
     step = build_coco_train_step(
         model,
         tx,
@@ -628,17 +662,34 @@ def cmd_coco(args):
             cache_chunk_size=args.cache_chunk_size,
         ),
     )
+    logger = _metrics_logger(args)
+    saver = None
+    if args.async_checkpoint:
+        from cocodr_tpu.utils.train_state import AsyncSaver
+
+        saver = AsyncSaver()
+
+    def log_fn(s, m):
+        print(json.dumps({"step": s, **m}))
+        if logger:
+            logger.log(s, m, prefix="coco/")
+
     run_coco_pretrain(
         state,
         step,
         batches,
         jax.random.PRNGKey(args.seed),
         max_steps=args.max_steps,
-        log_fn=lambda s, m: print(json.dumps({"step": s, **m})),
+        log_fn=log_fn,
         ckpt_dir=args.ckpt_dir,
         save_steps=args.save_steps,
         device_put=device_put,
+        saver=saver,
     )
+    if saver:
+        saver.close()
+    if logger:
+        logger.close()
 
 
 def _ance_setup(args):
@@ -988,6 +1039,9 @@ def main(argv=None):
     sp.add_argument("--max-steps", type=int, default=1000000)
     sp.add_argument("--save-steps", type=int, default=10000)
     sp.add_argument("--seed", type=int, default=0)
+    sp.add_argument("--no-resume", action="store_true")
+    sp.add_argument("--async-checkpoint", action="store_true",
+                    help="non-blocking checkpoint writes (AsyncSaver)")
     sp.set_defaults(fn=cmd_coco)
 
     sp = sub.add_parser("convert-hf")

@@ -95,6 +95,14 @@ class CocoStageConfig:
     late_mlm: bool = True
     cache_chunk_size: int = 0
 
+    def warmup_steps_for(self, total_steps: int) -> int:
+        """warmup_ratio -> absolute warmup steps from the run's step budget
+        (reference COCO/trainer.py:66-70: warmup_steps = num_training_steps
+        * warmup_ratio, overriding any fixed warmup_steps)."""
+        if self.warmup_ratio > 0 and total_steps > 0:
+            return max(1, int(total_steps * self.warmup_ratio))
+        return self.optimizer.warmup_steps
+
     @classmethod
     def base(cls):
         return cls()

@@ -37,6 +37,15 @@ class CondenserWWMCollator:
         self.mask_id = self.tokenizer.mask_token_id
         self.vocab_size = self.tokenizer.vocab_size
 
+    def reseed(self, batch_index: int):
+        """Key the mask/truncation randomness on (seed, batch_index) —
+        fold_in semantics, like per-step dropout keys. A resumed run can
+        then skip collation of already-consumed batches and still draw
+        batch N's masks identically to an uninterrupted run (a sequential
+        stream would desync; the reference pays a collate-and-discard pass
+        per skipped batch under the HF Trainer instead)."""
+        self._rng = random.Random(f"{self.seed}:{batch_index}")
+
     def _whole_word_cand_indexes(self, tokens: List[str]) -> List[List[int]]:
         cand: List[List[int]] = []
         for i, tok in enumerate(tokens):

@@ -116,17 +116,44 @@ def span_batches(
     docs_per_batch: int,
     seed: int = 0,
     num_epochs: int = 1,
+    start_batch: int = 0,
 ) -> Iterator[dict]:
     """Batched stream over one or more span corpora (the 18-task mix):
-    shuffled doc order per epoch, 2 spans per doc via the co-collator."""
+    shuffled doc order per epoch, 2 spans per doc via the co-collator.
+
+    start_batch: resume fast-forward — the epoch shuffles are replayed (same
+    seed => same order) but the first N batches are skipped BEFORE collation,
+    so resuming costs doc-list indexing, not WWM-masking every skipped batch
+    (the reference resumes via the HF Trainer's dataloader skip,
+    COCO/run_coco_pre_training.py:146-152)."""
     docs = []
     for p in span_jsonl_paths:
         with open(p, encoding="utf8") as f:
             docs.extend(json.loads(l) for l in f)
     rng = random.Random(seed)
+    batch_no = 0
+    reseed = getattr(collator, "reseed", None)
     for _ in range(num_epochs):
         order = list(range(len(docs)))
         rng.shuffle(order)
         for s in range(0, len(order) - docs_per_batch + 1, docs_per_batch):
+            batch_no += 1
+            if batch_no <= start_batch:
+                continue
             batch_docs = [docs[i] for i in order[s : s + docs_per_batch]]
+            if reseed is not None:  # per-batch keyed masks => exact resume
+                reseed(batch_no)
             yield collator.collate_spans(batch_docs)
+
+
+def count_span_batches(
+    span_jsonl_paths: Iterable[str], docs_per_batch: int, num_epochs: int = 1
+) -> int:
+    """Total optimizer steps of a COCO run (for warmup_ratio -> warmup
+    steps, reference COCO/trainer.py:66-70): line counts are cheap relative
+    to loading the spans."""
+    n_docs = 0
+    for p in span_jsonl_paths:
+        with open(p, encoding="utf8") as f:
+            n_docs += sum(1 for _ in f)
+    return (n_docs // docs_per_batch) * num_epochs

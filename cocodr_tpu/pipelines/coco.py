@@ -183,15 +183,27 @@ def run_coco_pretrain(
     ckpt_dir: Optional[str] = None,
     save_steps: int = 0,
     device_put: Optional[Callable] = None,
+    saver=None,
+    keep_checkpoints: int = 3,
 ):
     """device_put: shards each host batch over the mesh data axis (from
     parallel.sharded_train.shard_train_setup) — the coCondenser global
     contrastive batch then spans the whole mesh, with GSPMD inserting the
-    CLS all-gather the reference does by hand (COCO/modeling.py:182-190)."""
+    CLS all-gather the reference does by hand (COCO/modeling.py:182-190).
+
+    Resume: the caller restores `state` from the latest DONE checkpoint and
+    fast-forwards `span_batches` (coco_spans.span_batches(start_batch=...));
+    per-step dropout keys are folded from (rng, global step), so a resumed
+    run replays the exact key sequence of an uninterrupted one (mirrors
+    pipelines/warmup.run_warmup).
+
+    saver: utils.train_state.AsyncSaver for non-blocking checkpoints with
+    the DONE-marker protocol; None saves synchronously."""
     from cocodr_tpu.utils.train_state import save_checkpoint
 
+    step = int(state.step)
     for batch in span_batches:
-        rng, step_rng = jax.random.split(rng)
+        step_rng = jax.random.fold_in(rng, step)
         jb = {k: jnp.asarray(v) for k, v in batch.items()}
         if device_put is not None:
             jb = device_put(jb)
@@ -200,7 +212,13 @@ def run_coco_pretrain(
         if log_fn and step % log_every == 0:
             log_fn(step, {k: float(np.asarray(v)) for k, v in metrics.items()})
         if ckpt_dir and save_steps and step % save_steps == 0:
-            save_checkpoint(ckpt_dir, state)
+            (saver.save if saver else save_checkpoint)(
+                ckpt_dir, state, keep=keep_checkpoints)
         if step >= max_steps:
             break
+    if ckpt_dir:
+        (saver.save if saver else save_checkpoint)(
+            ckpt_dir, state, keep=keep_checkpoints)
+    if saver:
+        saver.wait()
     return state

@@ -117,6 +117,24 @@ def test_cli_coco(hf_checkpoint, tmp_path, capsys):
     from cocodr_tpu.utils.train_state import latest_checkpoint
 
     assert latest_checkpoint(str(tmp_path / "coco_ck")) is not None
+    capsys.readouterr()
+    # second invocation resumes from the step-2 checkpoint and runs one
+    # more step (async saver path)
+    main([
+        "coco",
+        "--train-dir", str(tmp_path / "spans"),
+        "--checkpoint", hf_checkpoint,
+        "--ckpt-dir", str(tmp_path / "coco_ck"),
+        "--batch-docs", "4",
+        "--max-steps", "3",
+        "--max-seq-length", "16",
+        "--save-steps", "2",
+        "--async-checkpoint",
+        "--compile-cache", "",
+    ])
+    out = capsys.readouterr().out
+    assert "resumed from" in out and "(step 2)" in out
+    assert latest_checkpoint(str(tmp_path / "coco_ck")).endswith("3")
 
 
 def test_cli_warmup_and_eval_on_mesh(hf_checkpoint, tmp_path, capsys):

@@ -200,3 +200,116 @@ def test_coco_step_no_cache_runs():
         losses.append(float(m["loss"]))
     assert np.isfinite(losses).all()
     assert losses[-1] < losses[0]
+
+
+def _write_span_corpus(path, n_docs=16, seed=0):
+    import json
+
+    rng = np.random.RandomState(seed)
+    with open(path, "w") as f:
+        for _ in range(n_docs):
+            spans = [
+                [int(x) for x in rng.randint(5, 17, size=rng.randint(3, 8))]
+                for _ in range(rng.randint(1, 4))
+            ]
+            f.write(json.dumps({"spans": spans}) + "\n")
+
+
+def test_coco_kill_and_restart_resumes_identically(tmp_path, tokenizer):
+    """Save at step 2, 'crash', restart from disk with the span stream
+    fast-forwarded — the step-4 state must be bit-identical to an
+    uninterrupted run (COCO resume; the reference goes through the HF
+    Trainer's model_path, COCO/run_coco_pre_training.py:146-152)."""
+    import optax
+
+    from cocodr_tpu.data.coco_spans import span_batches
+    from cocodr_tpu.pipelines.coco import run_coco_pretrain
+    from cocodr_tpu.utils.train_state import (
+        latest_checkpoint,
+        load_checkpoint,
+    )
+
+    sf = tmp_path / "spans.jsonl"
+    _write_span_corpus(sf)
+    collator = CoCondenserCollator(
+        tokenizer, mlm_probability=0.3, max_seq_length=12
+    )
+    cfg = BertConfig.tiny()
+    model = CoCondenserForPretraining(cfg, n_head_layers=1, skip_from=1)
+
+    def fresh():
+        params = model.init(
+            jax.random.PRNGKey(1),
+            jnp.ones((2, 12), jnp.int32),
+            jnp.ones((2, 12), jnp.int32),
+            jnp.full((2, 12), -100, jnp.int32),
+        )["params"]
+        tx = optax.adamw(1e-3)
+        state = TrainState.create(params, tx)
+        return build_coco_train_step(
+            model, tx, CocoConfig(max_seq_length=12)
+        ), state
+
+    def mk(start):
+        return span_batches(
+            [str(sf)], collator, docs_per_batch=4, num_epochs=3,
+            start_batch=start,
+        )
+
+    key = jax.random.PRNGKey(7)
+
+    step_a, state = fresh()
+    ck_a = str(tmp_path / "ck_a")
+    state_a = run_coco_pretrain(
+        state, step_a, mk(0), key, max_steps=4, ckpt_dir=ck_a, save_steps=2
+    )
+
+    step_b, state_b = fresh()
+    ck_b = str(tmp_path / "ck_b")
+    run_coco_pretrain(
+        state_b, step_b, mk(0), key, max_steps=2, ckpt_dir=ck_b, save_steps=2
+    )
+    # fresh "process": new step fn + template state, restore purely from disk
+    step_c, template = fresh()
+    ck = latest_checkpoint(ck_b)
+    assert ck is not None
+    resumed = load_checkpoint(ck, template)
+    assert int(resumed.step) == 2
+    state_b2 = run_coco_pretrain(
+        resumed, step_c, mk(int(resumed.step)), key, max_steps=4,
+        ckpt_dir=ck_b, save_steps=2,
+    )
+
+    assert int(state_a.step) == int(state_b2.step) == 4
+    for a, b in zip(
+        jax.tree_util.tree_leaves(state_a.params),
+        jax.tree_util.tree_leaves(state_b2.params),
+    ):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    for a, b in zip(
+        jax.tree_util.tree_leaves(state_a.opt_state),
+        jax.tree_util.tree_leaves(state_b2.opt_state),
+    ):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_count_span_batches_matches_stream(tmp_path, tokenizer):
+    from cocodr_tpu.data.coco_spans import count_span_batches, span_batches
+
+    sf = tmp_path / "spans.jsonl"
+    _write_span_corpus(sf, n_docs=10)
+    collator = CoCondenserCollator(tokenizer, max_seq_length=12)
+    n = sum(1 for _ in span_batches([str(sf)], collator, 3, num_epochs=2))
+    assert n == count_span_batches([str(sf)], 3, num_epochs=2)
+
+
+def test_warmup_ratio_to_steps():
+    from cocodr_tpu.core.configs import CocoStageConfig
+
+    cfg = CocoStageConfig.base()  # warmup_ratio 0.1
+    assert cfg.warmup_steps_for(10_000) == 1_000
+    assert cfg.warmup_steps_for(5) == 1  # floor of 1
+    import dataclasses
+
+    off = dataclasses.replace(cfg, warmup_ratio=0.0)
+    assert off.warmup_steps_for(10_000) == off.optimizer.warmup_steps
