@@ -144,17 +144,40 @@ def _load_model_params(checkpoint: str, model_type: str):
         k.startswith("embeddingHead") for k in weights
     )
     params = dual_encoder_params_from_torch(weights, cfg, use_head=use_head)
-    if model.cfg.use_head and not use_head:
-        # head weights absent (bare backbone checkpoint): fresh init
+    if model.cfg.two_tower and "doc_encoder" not in params:
+        # single-backbone checkpoint bootstraps both towers (the reference
+        # inits question_model and ctx_model from the same pretrained BERT,
+        # warmup/model/models.py:300-302)
+        import copy as _copy
+
+        params["doc_encoder"] = _copy.deepcopy(params["encoder"])
+    needs_fresh = (model.cfg.use_head and not use_head) or (
+        model.cfg.pooling == "pooler"
+        and "pooler" not in params["encoder"]
+    )
+    if needs_fresh:
+        # missing head/pooler weights (bare backbone checkpoint): fresh init.
+        # flax only materializes params on the traced path, so init both
+        # towers (query_emb never touches doc_encoder).
         import jax
         import jax.numpy as jnp
 
-        init = model.init(
-            jax.random.PRNGKey(0),
-            jnp.ones((1, 8), jnp.int32),
-            jnp.ones((1, 8), jnp.int32),
-        )["params"]
-        params["head"] = init["head"]
+        dummy = (jnp.ones((1, 8), jnp.int32), jnp.ones((1, 8), jnp.int32))
+        init = dict(model.init(jax.random.PRNGKey(0), *dummy)["params"])
+        if model.cfg.two_tower:
+            init.update(
+                model.init(
+                    jax.random.PRNGKey(0), *dummy, method=model.body_emb
+                )["params"]
+            )
+        if model.cfg.use_head and not use_head:
+            params["head"] = init["head"]
+            if model.cfg.two_tower:
+                params["doc_head"] = init["doc_head"]
+        for tower in ("encoder", "doc_encoder"):
+            if (model.cfg.pooling == "pooler" and tower in params
+                    and "pooler" not in params[tower]):
+                params[tower]["pooler"] = init[tower]["pooler"]
     return model, params, cfg
 
 
@@ -843,12 +866,75 @@ def cmd_ance_train(args):
 
 
 def cmd_export_hf(args):
-    """Export a framework checkpoint back to HF torch format."""
-    from cocodr_tpu.models.hf import config_from_hf
+    """Export a framework checkpoint back to HF torch format.
+
+    Two sources:
+    - an HF dual-encoder dir (default): backbone + the rdot_nll projection
+      head under the reference's `embeddingHead.*`/`norm.*` naming
+      (ANCE/model/models.py:109-110); a source `model.pt` (Condenser c_head,
+      unused on the embedding path) is carried through verbatim.
+    - --from-orbax: a COCO pretraining checkpoint (orbax TrainState) ->
+      backbone + MLM head in pytorch_model.bin, c_head split into model.pt
+      (reference COCO/modeling.py:123-131) — the `coco_ck/export` handoff
+      the warmup stage consumes (docs/commands.md).
+    """
+    import shutil as _shutil
+
     from cocodr_tpu.utils.train_state import export_hf_bert
 
+    if args.from_orbax:
+        import orbax.checkpoint as ocp
+
+        from cocodr_tpu.models.condenser import condenser_params_to_torch
+        from cocodr_tpu.models.hf import config_from_hf
+        from cocodr_tpu.utils.train_state import latest_checkpoint
+
+        with open(os.path.join(args.config, "config.json")) as f:
+            cfg = config_from_hf(json.load(f))
+        ck = args.checkpoint
+        if not os.path.exists(os.path.join(ck, "state")):
+            ck = latest_checkpoint(ck) or ck
+        restored = ocp.PyTreeCheckpointer().restore(
+            os.path.abspath(os.path.join(ck, "state"))
+        )
+        params = restored["params"]
+        backbone_sd, head_sd = condenser_params_to_torch(params, cfg)
+        # backbone keys are already torch-named; reuse export for config +
+        # model.pt, passing the MLM-head keys through extra_state
+        mlm_keys = {k: v for k, v in backbone_sd.items()
+                    if k.startswith("cls.")}
+        export_hf_bert(
+            params["bert"], cfg, args.out,
+            head_params=head_sd or None, extra_state=mlm_keys,
+        )
+        print(f"exported COCO checkpoint {ck} to {args.out}")
+        return
+
     model, params, cfg = _load_model_params(args.checkpoint, args.model_type)
-    export_hf_bert(params["encoder"], cfg, args.out)
+    if model.cfg.two_tower:
+        # DPR: both towers under the BiEncoder's state-dict naming
+        import torch
+
+        from cocodr_tpu.models.hf import dpr_params_to_torch
+        from cocodr_tpu.utils.train_state import export_hf_bert as _export
+
+        _export(params["encoder"], cfg, args.out)  # config.json + tower 0
+        sd = {
+            k: torch.tensor(v)
+            for k, v in dpr_params_to_torch(params, cfg).items()
+        }
+        torch.save(sd, os.path.join(args.out, "pytorch_model.bin"))
+        print(f"exported DPR BiEncoder checkpoint to {args.out}")
+        return
+    extra = None
+    if model.cfg.use_head and "head" in params:
+        from cocodr_tpu.models.hf import dual_head_params_to_torch
+
+        extra = dual_head_params_to_torch(params["head"])
+    export_hf_bert(params["encoder"], cfg, args.out, extra_state=extra)
+    src_cpt = os.path.join(args.checkpoint, "model.pt")
+    if os.path.exists(src_cpt):
+        _shutil.copy(src_cpt, os.path.join(args.out, "model.pt"))
     print(f"exported HF checkpoint to {args.out}")
 
 
@@ -1018,6 +1104,12 @@ def main(argv=None):
     sp.add_argument("--checkpoint", required=True)
     sp.add_argument("--out", required=True)
     sp.add_argument("--model-type", default="rdot_nll_condenser")
+    sp.add_argument("--from-orbax", action="store_true",
+                    help="checkpoint is a COCO orbax ckpt dir (or its root);"
+                         " exports backbone+MLM head and c_head model.pt")
+    sp.add_argument("--config", default=None,
+                    help="HF dir providing config.json (required with "
+                         "--from-orbax)")
     sp.set_defaults(fn=cmd_export_hf)
 
     sp = sub.add_parser("preprocess-coco")

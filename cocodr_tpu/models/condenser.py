@@ -191,6 +191,78 @@ def _bert_layer_params_from_torch(sd: Mapping, prefix: str, cfg: BertConfig):
     }
 
 
+def _bert_layer_params_to_torch(layer: Mapping, prefix: str, cfg: BertConfig):
+    """Inverse of _bert_layer_params_from_torch: one flax BertLayer ->
+    HF BertLayer-named numpy arrays under `prefix`."""
+    H = cfg.hidden_size
+    attn = layer["attention"]
+    out = {}
+    for name in ("query", "key", "value"):
+        out[f"{prefix}attention.self.{name}.weight"] = (
+            np.asarray(attn[name]["kernel"]).reshape(H, H).T.copy()
+        )
+        out[f"{prefix}attention.self.{name}.bias"] = np.asarray(
+            attn[name]["bias"]
+        ).reshape(H)
+    out[f"{prefix}attention.output.dense.weight"] = (
+        np.asarray(attn["output"]["kernel"]).reshape(H, H).T.copy()
+    )
+    out[f"{prefix}attention.output.dense.bias"] = np.asarray(
+        attn["output"]["bias"]
+    )
+    out[f"{prefix}attention.output.LayerNorm.weight"] = np.asarray(
+        layer["attention_layer_norm"]["scale"]
+    )
+    out[f"{prefix}attention.output.LayerNorm.bias"] = np.asarray(
+        layer["attention_layer_norm"]["bias"]
+    )
+    out[f"{prefix}intermediate.dense.weight"] = np.asarray(
+        layer["intermediate"]["kernel"]
+    ).T.copy()
+    out[f"{prefix}intermediate.dense.bias"] = np.asarray(
+        layer["intermediate"]["bias"]
+    )
+    out[f"{prefix}output.dense.weight"] = np.asarray(
+        layer["ffn_output"]["kernel"]
+    ).T.copy()
+    out[f"{prefix}output.dense.bias"] = np.asarray(layer["ffn_output"]["bias"])
+    out[f"{prefix}output.LayerNorm.weight"] = np.asarray(
+        layer["output_layer_norm"]["scale"]
+    )
+    out[f"{prefix}output.LayerNorm.bias"] = np.asarray(
+        layer["output_layer_norm"]["bias"]
+    )
+    return out
+
+
+def condenser_params_to_torch(params: Mapping, cfg: BertConfig):
+    """flax CondenserForPretraining params -> (backbone_sd, c_head_sd):
+    backbone_sd is the HF BertModel + MLM-head state dict, c_head_sd the
+    split `model.pt` with `c_head.{i}.*` naming the reference finetune
+    loaders expect (reference COCO/modeling.py:123-131). Inverse of
+    condenser_params_from_torch."""
+    from cocodr_tpu.models.hf import (
+        bert_params_to_torch,
+        mlm_transform_params_to_torch,
+    )
+
+    backbone = bert_params_to_torch(params["bert"], cfg)
+    backbone.update(
+        mlm_transform_params_to_torch(
+            params["mlm_transform"], params["decoder_bias"]
+        )
+    )
+    head = {}
+    i = 0
+    while f"c_head_{i}" in params:
+        head.update(
+            _bert_layer_params_to_torch(params[f"c_head_{i}"],
+                                        f"c_head.{i}.", cfg)
+        )
+        i += 1
+    return backbone, head
+
+
 def condenser_params_from_torch(
     mlm_state_dict: Mapping,
     cfg: BertConfig,

@@ -40,7 +40,7 @@ def pool(hidden, mask, method: str):
         return hidden[:, 0]
     if method == "mean":
         return masked_mean(hidden, mask).astype(hidden.dtype)
-    raise ValueError(method)
+    raise ValueError(method)  # 'pooler' is handled in DualEncoder._emb
 
 
 class ProjectionHead(nn.Module):
@@ -72,7 +72,7 @@ class ProjectionHead(nn.Module):
 @dataclasses.dataclass(frozen=True)
 class DualEncoderConfig:
     bert: BertConfig
-    pooling: str = "cls"  # 'cls' | 'mean'
+    pooling: str = "cls"  # 'cls' | 'mean' | 'pooler' (tanh pooler, DPR)
     use_head: bool = False  # linear+LN projection after pooling
     head_dim: int = 768
     two_tower: bool = False  # DPR-style separate q/d towers
@@ -95,7 +95,11 @@ class DualEncoderConfig:
 
     @classmethod
     def dpr(cls, bert: BertConfig, **kw) -> "DualEncoderConfig":
-        return cls(bert=bert, pooling="cls", use_head=False, two_tower=True, **kw)
+        # BiEncoder embeds via the BERT tanh pooler output, not raw CLS
+        # (reference warmup/model/models.py:303-308 pooled_output)
+        return cls(
+            bert=bert, pooling="pooler", use_head=False, two_tower=True, **kw
+        )
 
 
 class DualEncoder(nn.Module):
@@ -104,9 +108,10 @@ class DualEncoder(nn.Module):
     cfg: DualEncoderConfig
 
     def setup(self):
-        self.encoder = BertModel(self.cfg.bert)
+        with_pooler = self.cfg.pooling == "pooler"
+        self.encoder = BertModel(self.cfg.bert, with_pooler=with_pooler)
         if self.cfg.two_tower:
-            self.doc_encoder = BertModel(self.cfg.bert)
+            self.doc_encoder = BertModel(self.cfg.bert, with_pooler=with_pooler)
         if self.cfg.use_head:
             self.head = ProjectionHead(self.cfg.bert, self.cfg.head_dim)
             if self.cfg.two_tower:
@@ -114,13 +119,16 @@ class DualEncoder(nn.Module):
 
     def _emb(self, encoder, head, input_ids, attention_mask, token_type_ids,
              deterministic):
-        last, _, _ = encoder(
+        last, _, pooled = encoder(
             input_ids,
             attention_mask,
             token_type_ids,
             deterministic=deterministic,
         )
-        e = pool(last, attention_mask, self.cfg.pooling)
+        if self.cfg.pooling == "pooler":
+            e = pooled
+        else:
+            e = pool(last, attention_mask, self.cfg.pooling)
         if head is not None:
             e = head(e)
         return e

@@ -275,8 +275,24 @@ def dual_encoder_params_from_torch(
     The backbone lives under 'roberta.'/'bert.'; the projection head is
     `embeddingHead` (Linear) + `norm` (LayerNorm) — present in all published
     checkpoints, used on the embedding path only by the rdot_nll family.
+
+    DPR BiEncoder checkpoints carry two towers under `question_model.` /
+    `ctx_model.` (reference warmup/model/models.py:296-320) -> encoder +
+    doc_encoder.
     """
     sd = {k: _np(v) for k, v in state_dict.items()}
+    if any(k.startswith("question_model.") for k in sd):
+        def tower(prefix):
+            return bert_params_from_torch(
+                {k[len(prefix):]: v for k, v in sd.items()
+                 if k.startswith(prefix)},
+                cfg,
+            )
+
+        return {
+            "encoder": tower("question_model."),
+            "doc_encoder": tower("ctx_model."),
+        }
     params: Dict = {"encoder": bert_params_from_torch(sd, cfg)}
     if use_head:
         params["head"] = {
@@ -290,6 +306,56 @@ def dual_encoder_params_from_torch(
             },
         }
     return params
+
+
+def dpr_params_to_torch(params: Mapping, cfg: BertConfig) -> Dict[str, np.ndarray]:
+    """flax two-tower DualEncoder -> BiEncoder state-dict naming
+    (question_model.* / ctx_model.*, reference warmup/model/models.py:
+    296-320). Inverse of the DPR branch above."""
+    out = {}
+    for prefix, key in (("question_model.", "encoder"),
+                        ("ctx_model.", "doc_encoder")):
+        for k, v in bert_params_to_torch(params[key], cfg).items():
+            out[prefix + k] = v
+    return out
+
+
+def dual_head_params_to_torch(head_params: Mapping) -> Dict[str, np.ndarray]:
+    """flax ProjectionHead params -> the reference's checkpoint naming:
+    `embeddingHead.{weight,bias}` (Linear) + `norm.{weight,bias}` (LayerNorm)
+    at the state-dict top level (reference ANCE/model/models.py:109-110).
+    Inverse of dual_encoder_params_from_torch's head branch."""
+    return {
+        "embeddingHead.weight": np.asarray(
+            head_params["dense"]["kernel"]
+        ).T.copy(),
+        "embeddingHead.bias": np.asarray(head_params["dense"]["bias"]),
+        "norm.weight": np.asarray(head_params["layer_norm"]["scale"]),
+        "norm.bias": np.asarray(head_params["layer_norm"]["bias"]),
+    }
+
+
+def mlm_transform_params_to_torch(
+    transform: Mapping, decoder_bias
+) -> Dict[str, np.ndarray]:
+    """flax BertMLMTransform params -> HF BERT MLM-head naming
+    (cls.predictions.transform.* + cls.predictions.bias). Inverse of
+    mlm_transform_params_from_torch (BERT flavor)."""
+    return {
+        "cls.predictions.transform.dense.weight": np.asarray(
+            transform["dense"]["kernel"]
+        ).T.copy(),
+        "cls.predictions.transform.dense.bias": np.asarray(
+            transform["dense"]["bias"]
+        ),
+        "cls.predictions.transform.LayerNorm.weight": np.asarray(
+            transform["layer_norm"]["scale"]
+        ),
+        "cls.predictions.transform.LayerNorm.bias": np.asarray(
+            transform["layer_norm"]["bias"]
+        ),
+        "cls.predictions.bias": np.asarray(decoder_bias),
+    }
 
 
 def load_torch_state_dict(path: str) -> Dict[str, np.ndarray]:

@@ -171,10 +171,17 @@ def load_checkpoint(path: str, template: TrainState) -> TrainState:
     return jax.tree_util.tree_map(lambda t, r: r, template, restored)
 
 
-def export_hf_bert(params_bert, cfg, out_dir: str, head_params=None):
+def export_hf_bert(params_bert, cfg, out_dir: str, head_params=None,
+                   extra_state=None):
     """Write an HF-format torch checkpoint of the backbone (parity with
     save_pretrained; Condenser head goes to model.pt like the reference,
-    COCO/modeling.py:123-131)."""
+    COCO/modeling.py:123-131).
+
+    extra_state: extra top-level tensors merged into pytorch_model.bin —
+    the rdot_nll family's `embeddingHead.*`/`norm.*` (reference
+    ANCE/model/models.py:109-110) or MLM-head keys. head_params: the split
+    `model.pt` dict (c_head). The config records the backbone flavor
+    (bert/roberta position semantics) so a reload reconstructs the model."""
     import torch
 
     from cocodr_tpu.models.hf import bert_params_to_torch
@@ -183,10 +190,15 @@ def export_hf_bert(params_bert, cfg, out_dir: str, head_params=None):
     sd = {
         k: torch.tensor(v) for k, v in bert_params_to_torch(params_bert, cfg).items()
     }
+    if extra_state:
+        sd.update({
+            k: torch.tensor(np.asarray(v)) for k, v in extra_state.items()
+        })
     torch.save(sd, os.path.join(out_dir, "pytorch_model.bin"))
+    roberta = getattr(cfg, "position_style", "bert") == "roberta"
     config = {
-        "architectures": ["BertModel"],
-        "model_type": "bert",
+        "architectures": ["RobertaModel" if roberta else "BertModel"],
+        "model_type": "roberta" if roberta else "bert",
         "vocab_size": cfg.vocab_size,
         "hidden_size": cfg.hidden_size,
         "num_hidden_layers": cfg.num_hidden_layers,

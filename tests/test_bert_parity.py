@@ -117,3 +117,36 @@ def test_bf16_close(torch_model):
     # bf16 compute should stay within ~1e-2 of fp32 on a tiny model
     diff = np.abs(np.asarray(last16, np.float32) - np.asarray(last32))
     assert diff.max() < 5e-2
+
+
+def test_dpr_pooler_emb_matches_torch(torch_model):
+    """DPR BiEncoder embeds via BertModel's tanh pooler output (reference
+    warmup/model/models.py:303-308 pooled_output) — our dpr registry model
+    must produce the same vectors from a question_model./ctx_model.
+    checkpoint."""
+    cfg = config_from_hf(torch_model.config)
+    sd = {}
+    for prefix in ("question_model.", "ctx_model."):
+        sd.update({prefix + k: v for k, v in torch_model.state_dict().items()})
+    from cocodr_tpu.models.dual_encoder import build_dual_encoder
+    from cocodr_tpu.models.hf import dual_encoder_params_from_torch
+
+    model = build_dual_encoder("dpr", cfg)
+    params = dual_encoder_params_from_torch(sd, cfg)
+    assert "doc_encoder" in params and "pooler" in params["encoder"]
+
+    input_ids, mask, _ = _inputs()
+    import torch as _torch
+
+    with _torch.no_grad():
+        want = torch_model(
+            input_ids=_torch.tensor(input_ids.astype(np.int64)),
+            attention_mask=_torch.tensor(mask.astype(np.int64)),
+        ).pooler_output.numpy()
+    for method in ("query_emb", "body_emb"):
+        got = model.apply(
+            {"params": params}, jnp.asarray(input_ids), jnp.asarray(mask),
+            method=getattr(model, method),
+        )
+        np.testing.assert_allclose(np.asarray(got), want, atol=2e-5,
+                                   rtol=1e-4)

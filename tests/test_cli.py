@@ -268,29 +268,104 @@ def test_cli_ance_rounds_on_mesh(hf_checkpoint, tmp_path, capsys):
     assert os.path.isdir(str(tmp_path / "ck_ance"))
 
 
-def test_cli_export_roundtrip(hf_checkpoint, tmp_path, capsys):
-    """convert-hf reads a torch checkpoint; export-hf writes one back that
-    reloads with numerically identical embeddings."""
-    main(["convert-hf", "--hf-dir", hf_checkpoint])
+@pytest.mark.parametrize(
+    "model_type",
+    ["rdot_nll_condenser", "rdot_nll", "rdot_nll_multi_chunk", "dpr"],
+)
+def test_cli_export_roundtrip(hf_checkpoint, tmp_path, capsys, model_type):
+    """export-hf writes a checkpoint that reloads with numerically identical
+    embeddings for EVERY registry model type — including the rdot_nll
+    projection head (embeddingHead/norm naming) and the DPR two-tower +
+    pooler BiEncoder layout."""
+    main(["convert-hf", "--hf-dir", hf_checkpoint,
+          "--model-type", model_type])
     out = capsys.readouterr().out
     assert "params" in out
 
-    out_dir = str(tmp_path / "hf_out")
-    main(["export-hf", "--checkpoint", hf_checkpoint, "--out", out_dir])
+    out_dir = str(tmp_path / f"hf_out_{model_type}")
+    main(["export-hf", "--checkpoint", hf_checkpoint, "--out", out_dir,
+          "--model-type", model_type])
     capsys.readouterr()
     assert os.path.exists(os.path.join(out_dir, "pytorch_model.bin"))
     assert os.path.exists(os.path.join(out_dir, "config.json"))
+    if model_type in ("rdot_nll", "rdot_nll_multi_chunk"):
+        import torch as _torch
+
+        sd = _torch.load(os.path.join(out_dir, "pytorch_model.bin"),
+                         map_location="cpu", weights_only=True)
+        assert "embeddingHead.weight" in sd and "norm.bias" in sd
+    if model_type == "dpr":
+        import torch as _torch
+
+        sd = _torch.load(os.path.join(out_dir, "pytorch_model.bin"),
+                         map_location="cpu", weights_only=True)
+        assert any(k.startswith("question_model.") for k in sd)
+        assert any(k.startswith("ctx_model.pooler.") for k in sd)
+
+    import jax.numpy as jnp
+
+    m1, p1, _ = _load_model_params(hf_checkpoint, model_type)
+    m2, p2, _ = _load_model_params(out_dir, model_type)
+    ids = jnp.ones((2, 8), jnp.int32)
+    for method in ("body_emb", "query_emb"):
+        e1 = m1.apply({"params": p1}, ids, ids, method=getattr(m1, method))
+        e2 = m2.apply({"params": p2}, ids, ids, method=getattr(m2, method))
+        np.testing.assert_allclose(np.asarray(e1), np.asarray(e2),
+                                   rtol=1e-6, atol=1e-6)
+
+
+def test_cli_export_coco_orbax(hf_checkpoint, tmp_path, capsys):
+    """export-hf --from-orbax: COCO orbax checkpoint -> HF backbone + MLM
+    head + split model.pt c_head (reference COCO/modeling.py:123-131), and
+    the roundtrip back through condenser_params_from_torch is lossless."""
+    import optax
 
     import jax
     import jax.numpy as jnp
 
-    m1, p1, _ = _load_model_params(hf_checkpoint, "rdot_nll_condenser")
-    m2, p2, _ = _load_model_params(out_dir, "rdot_nll_condenser")
-    ids = jnp.ones((2, 8), jnp.int32)
-    e1 = m1.apply({"params": p1}, ids, ids, method=m1.body_emb)
-    e2 = m2.apply({"params": p2}, ids, ids, method=m2.body_emb)
-    np.testing.assert_allclose(np.asarray(e1), np.asarray(e2),
-                               rtol=1e-6, atol=1e-6)
+    from cocodr_tpu.models.condenser import (
+        CoCondenserForPretraining,
+        condenser_params_from_torch,
+    )
+    from cocodr_tpu.models.hf import config_from_hf, load_torch_state_dict
+    from cocodr_tpu.utils.train_state import TrainState, save_checkpoint
+
+    with open(os.path.join(hf_checkpoint, "config.json")) as f:
+        cfg = config_from_hf(json.load(f))
+    model = CoCondenserForPretraining(cfg, n_head_layers=1, skip_from=1)
+    params = model.init(
+        jax.random.PRNGKey(3),
+        jnp.ones((2, 8), jnp.int32),
+        jnp.ones((2, 8), jnp.int32),
+        jnp.full((2, 8), -100, jnp.int32),
+    )["params"]
+    state = TrainState.create(params, optax.adamw(1e-4))
+    ck_root = str(tmp_path / "coco_orbax")
+    save_checkpoint(ck_root, state)
+
+    out_dir = str(tmp_path / "coco_export")
+    main(["export-hf", "--from-orbax", "--checkpoint", ck_root,
+          "--config", hf_checkpoint, "--out", out_dir])
+    capsys.readouterr()
+    assert os.path.exists(os.path.join(out_dir, "model.pt"))
+
+    back = condenser_params_from_torch(
+        load_torch_state_dict(os.path.join(out_dir, "pytorch_model.bin")),
+        cfg,
+        n_head_layers=1,
+        head_state_dict=load_torch_state_dict(
+            os.path.join(out_dir, "model.pt")
+        ),
+    )
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-6, atol=1e-6
+        ),
+        {k: params[k] for k in ("bert", "mlm_transform", "decoder_bias",
+                                "c_head_0")},
+        {k: back[k] for k in ("bert", "mlm_transform", "decoder_bias",
+                              "c_head_0")},
+    )
 
 
 def test_cli_async_two_job_pair(hf_checkpoint, tmp_path):
