@@ -92,10 +92,12 @@ def bench_mips(n_docs=1_048_576, dim=768, n_queries=1024, k=100, iters=10,
     return n_queries / best
 
 
-def bench_train_step(batch=64, seq=128, iters=10):
-    """Warmup-style triplet-NLL train step (3 encoder fwd + bwd + LAMB).
+def bench_train_step(batch=64, seq=128, iters=10, loss_kind="nll"):
+    """Warmup-style triplet train step (3 encoder fwd + bwd + LAMB).
     remat keeps the 3-tower backward inside HBM. B=64 is the reference's
-    per-GPU ANCE batch and ~24% faster per triplet than B=32 here."""
+    per-GPU ANCE batch and ~24% faster per triplet than B=32 here.
+    loss_kind='idro' measures the DRO robust step (one shared
+    linearization: forward + G group pullbacks + training pullback)."""
     import optax
 
     from cocodr_tpu.optim import lamb, warmup_linear
@@ -111,12 +113,22 @@ def bench_train_step(batch=64, seq=128, iters=10):
     mask = jnp.ones((batch, seq), jnp.int32)
     params = model.init(jax.random.PRNGKey(0), ids[:1], mask[:1])["params"]
     tx = lamb(warmup_linear(2e-4, 1000, 100000))
-    state = jax.device_put(TrainState.create(params, tx))
-    step = build_train_step(model, tx, TrainStepConfig(loss_kind="nll"))
+    extra = None
+    scfg = TrainStepConfig(loss_kind=loss_kind)
+    if loss_kind == "idro":
+        from cocodr_tpu.losses import DroConfig, idro_init
+
+        dro = DroConfig(n_groups=10)  # ANCE query-cluster groups
+        scfg = TrainStepConfig(loss_kind="idro", dro=dro)
+        extra = idro_init(dro)
+    state = jax.device_put(TrainState.create(params, tx, extra=extra))
+    step = build_train_step(model, tx, scfg)
     b = {
         "q_ids": ids, "q_mask": mask, "pos_ids": ids, "pos_mask": mask,
         "neg_ids": ids, "neg_mask": mask,
     }
+    if loss_kind == "idro":
+        b["groups"] = jnp.arange(batch, dtype=jnp.int32) % 10
     b = jax.device_put(b)
     state, m = step(state, b)
     _ = float(m["loss"])
@@ -306,6 +318,8 @@ def main():
         ("mips_exact_qps_1M_docs_k100", bench_mips, 300),
         ("mips_fast_qps_1M_docs_k100", lambda: bench_mips(fast=True), 240),
         ("train_triplets_per_sec_bert_base", bench_train_step, 240),
+        ("train_idro_triplets_per_sec",
+         lambda: bench_train_step(loss_kind="idro"), 240),
     ):
         try:
             RESULT[key] = round(_run(fn, budget=budget), 1)

@@ -418,8 +418,8 @@ def cmd_warmup(args):
     eval_fn = None
     if args.eval_data_dir:
         from cocodr_tpu.data.native import open_token_cache
-        from cocodr_tpu.data.records import load_qrels
-        from cocodr_tpu.evals.mrr_eval import full_ranking_mrr
+        from cocodr_tpu.data.records import load_id_map, load_qrels
+        from cocodr_tpu.evals.mrr_eval import combined_mrr, load_top_dev
 
         dev_qc = open_token_cache(os.path.join(args.eval_data_dir, "dev-query"))
         dev_pc = open_token_cache(os.path.join(args.eval_data_dir, "passages"))
@@ -428,10 +428,22 @@ def cmd_warmup(args):
                 os.path.join(args.eval_data_dir, "dev-qrel.tsv")
             ).items()
         }
+        candidates = None
+        if getattr(args, "eval_top1000", None):
+            # the reference's top1000.dev rerank mode
+            # (warmup/utils/eval_mrr.py:166-229)
+            candidates = load_top_dev(
+                args.eval_top1000,
+                load_id_map(os.path.join(args.eval_data_dir,
+                                         "dev-query.qid2offset.pickle")),
+                load_id_map(os.path.join(args.eval_data_dir,
+                                         "passages.pid2offset.pickle")),
+            )
 
         def eval_fn(state):
-            m = full_ranking_mrr(
-                model, state.params, dev_qc, dev_pc, dev_qrels
+            m = combined_mrr(
+                model, state.params, dev_qc, dev_pc, dev_qrels,
+                candidates=candidates,
             )
             print(json.dumps({"step": int(state.step), **m}))
 
@@ -479,7 +491,6 @@ def cmd_ance(args):
     _setup_jax(args)
     from cocodr_tpu.data.streams import TripletBatcher
     from cocodr_tpu.pipelines.ance import (
-        MineConfig,
         ance_round,
         get_latest_ann_data,
     )
@@ -499,14 +510,7 @@ def cmd_ance(args):
         ),
     )
     batcher = TripletBatcher(qc, pc)
-    mine_cfg = MineConfig(
-        topk_training=cfg.topk_training,
-        negative_sample=cfg.negative_sample,
-        cluster_query=cfg.loss_kind != "nll",
-        cluster_centroids=cfg.dro.n_groups,
-        batch_size=cfg.eval_batch,
-        length_buckets=_parse_buckets(getattr(args, "length_buckets", "")),
-    )
+    mine_cfg = _mine_config(args, cfg)
     logger = _metrics_logger(args)
     work_dir = os.path.join(args.ckpt_dir, "ann_data")
     # resume: the state was restored in _ance_setup; continue at the round
@@ -777,11 +781,46 @@ def _ance_setup(args):
             mesh, device_put)
 
 
+def _add_miner_knobs(sp):
+    """Miner flags shared by `ance` and `ance-mine` (parity with
+    run_ann_data_gen.py's CLI surface)."""
+    sp.add_argument("--search-method", default="auto",
+                    choices=["auto", "pallas", "fast", "blockmax",
+                             "refined", "naive"])
+    sp.add_argument("--emb-cache-dir", default="",
+                    help="reuse corpus embeddings per checkpoint "
+                         "(reference embedding_dir_exist/load_embedding)")
+    sp.add_argument("--ann-chunk-factor", type=int, default=1,
+                    help="mine 1/N of the train queries per round, "
+                         "rotating (reference ann_chunk_factor)")
+    sp.add_argument("--exact-fp32", action="store_true",
+                    help="fp32 sweep for FAISS-bit parity")
+
+
+def _mine_config(args, cfg):
+    """MineConfig from stage config + the miner's CLI knobs (parity with
+    run_ann_data_gen.py flags: --search-method, --emb-cache-dir for
+    embedding reuse :438-495, --ann-chunk-factor :332-386)."""
+    from cocodr_tpu.pipelines.ance import MineConfig
+
+    return MineConfig(
+        topk_training=cfg.topk_training,
+        negative_sample=cfg.negative_sample,
+        cluster_query=cfg.loss_kind != "nll",
+        cluster_centroids=cfg.dro.n_groups,
+        batch_size=cfg.eval_batch,
+        length_buckets=_parse_buckets(getattr(args, "length_buckets", "")),
+        search_method=getattr(args, "search_method", "auto") or "auto",
+        emb_cache_dir=getattr(args, "emb_cache_dir", "") or "",
+        ann_chunk_factor=getattr(args, "ann_chunk_factor", 1) or 1,
+        exact_fp32=bool(getattr(args, "exact_fp32", False)),
+    )
+
+
 def cmd_ance_mine(args):
     """Async producer job (the reference's run_ann_data_gen.py)."""
     _setup_jax(args)
     from cocodr_tpu.pipelines.ance import (
-        MineConfig,
         checkpoint_params_loader,
         mine_loop,
     )
@@ -800,15 +839,7 @@ def cmd_ance_mine(args):
         dev_query_cache=dev_qc,
         dev_qrels=dev_qrels,
         mesh=mesh,
-        cfg=MineConfig(
-            topk_training=cfg.topk_training,
-            negative_sample=cfg.negative_sample,
-            cluster_query=cfg.loss_kind != "nll",
-            cluster_centroids=cfg.dro.n_groups,
-            batch_size=cfg.eval_batch,
-            length_buckets=_parse_buckets(
-                getattr(args, "length_buckets", "")),
-        ),
+        cfg=_mine_config(args, cfg),
     )
 
 
@@ -1046,6 +1077,9 @@ def main(argv=None):
     sp.add_argument("--batch-size", type=int, default=0)
     sp.add_argument("--max-steps", type=int, default=0)
     sp.add_argument("--eval-data-dir", default=None)
+    sp.add_argument("--eval-top1000", default=None,
+                    help="top1000.dev candidate file (qid\\tpid...): adds "
+                         "reranking MRR to the in-training eval")
     sp.add_argument("--eval-every", type=int, default=0)
     sp.add_argument("--no-dropout", action="store_true")
     sp.add_argument("--seed", type=int, default=0)
@@ -1075,6 +1109,7 @@ def main(argv=None):
     sp.add_argument("--length-buckets", default="")
     sp.add_argument("--no-dropout", action="store_true")
     sp.add_argument("--seed", type=int, default=0)
+    _add_miner_knobs(sp)
     sp.set_defaults(fn=cmd_ance)
 
     for name, fn in (("ance-mine", cmd_ance_mine), ("ance-train", cmd_ance_train)):
@@ -1098,6 +1133,8 @@ def main(argv=None):
         sp.add_argument("--n-groups", type=int, default=0)
         sp.add_argument("--length-buckets", default="")
         sp.add_argument("--async-checkpoint", action="store_true")
+        if name == "ance-mine":
+            _add_miner_knobs(sp)
         sp.set_defaults(fn=fn)
 
     sp = sub.add_parser("export-hf")

@@ -214,39 +214,44 @@ def build_train_step(
         K = cfg.idro_last_k_layers
 
         def step(state: TrainState, batch, dropout_rng=None):
-            lastk0, rebuild = split_last_k_layers(state.params, K)
-
-            def per_sample_losses(lastk, rest_unused):
-                p = rebuild(lastk)
+            # ONE forward + ONE linearization shared by the per-group pass
+            # and the training gradient. The reference builds a single torch
+            # graph and reuses it for both (dro_loss.py:174-204); an earlier
+            # version here embedded the batch twice (6 encoder forwards).
+            def per_sample(p):
                 q, a, b = _embed_triplet(model, p, batch, dropout_rng)
                 losses, acc, _ = triplet_nll(q, a, b)
-                return losses, acc
+                return losses, jnp.mean(acc)
 
-            # vjp wrt the last-k layer slice only (reference restricts
-            # per-group grads to these layers, dro_loss.py:179-183)
-            (losses, acc), pullback = jax.vjp(
-                lambda lk: per_sample_losses(lk, None), lastk0
+            (losses, acc), pullback = jax.vjp(per_sample, state.params)
+
+            def pull_lastk(ct):
+                # per-group grads restricted to the last-k encoder layers
+                # (dro_loss.py:179-183): slice the full-params cotangent —
+                # inside one jit, DCE prunes the unused below-last-k work
+                (g,) = pullback((ct, jnp.zeros_like(acc)))
+                enc = g["encoder"]["encoder"]["layers"]["layer"]
+                return (jax.tree_util.tree_map(lambda x: x[-K:], enc),)
+
+            gg = per_group_grads(pull_lastk, batch["groups"], G)
+
+            robust, dstate, (gl, gc) = idro_loss(
+                losses, batch["groups"], state.extra, cfg.dro, gg
             )
-
-            gg = per_group_grads(
-                lambda ct: pullback((ct, jnp.zeros_like(acc))), batch["groups"], G
+            # training gradient via the same pullback: d(robust)/d(loss_i)
+            # = h_pre[g_i] / count_{g_i} (pre-update h_fun — the buffer
+            # semantics of the torch module; verified against autodiff in
+            # tests/test_dro.py::test_idro_robust_loss_gradient_flows)
+            h_pre = state.extra.h_fun
+            counts = jnp.maximum(gc, 1.0)
+            ct = jax.lax.stop_gradient(
+                h_pre[batch["groups"]] / counts[batch["groups"]]
             )
-
-            def robust_fn(p, dstate):
-                q, a, b = _embed_triplet(model, p, batch, dropout_rng)
-                l, a_, _ = triplet_nll(q, a, b)
-                robust, new_dstate, (gl, gc) = idro_loss(
-                    l, batch["groups"], dstate, cfg.dro, gg
-                )
-                return robust, (new_dstate, jnp.mean(a_), gl, gc)
-
-            (loss, (dstate, acc_m, gl, gc)), grads = jax.value_and_grad(
-                robust_fn, has_aux=True
-            )(state.params, state.extra)
+            (grads,) = pullback((ct, jnp.zeros_like(acc)))
             state = apply_updates(state, grads, dstate)
             return state, {
-                "loss": loss,
-                "acc": acc_m,
+                "loss": robust,
+                "acc": acc,
                 "group_losses": gl,
                 "group_counts": gc,
             }

@@ -226,9 +226,7 @@ def test_cli_encode_and_serve(hf_checkpoint, tmp_path, capsys, monkeypatch):
     assert all(h["id"].startswith("d") for h in lines[1]["hits"])
 
 
-def test_cli_ance_rounds_on_mesh(hf_checkpoint, tmp_path, capsys):
-    """One full CLI `ance` round (mine -> train) on the 8-device mesh with
-    plain-NLL loss (the reference without --dro_type)."""
+def _write_marco(tmp_path):
     from cocodr_tpu.data.records import RecordWriter, write_qrels
 
     rng = np.random.RandomState(0)
@@ -245,6 +243,13 @@ def test_cli_ance_rounds_on_mesh(hf_checkpoint, tmp_path, capsys):
                 [(q, q * 4, 1) for q in range(8)])
     write_qrels(str(data / "dev-qrel.tsv"),
                 [(q, q * 4, 1) for q in range(4)])
+    return data
+
+
+def test_cli_ance_rounds_on_mesh(hf_checkpoint, tmp_path, capsys):
+    """One full CLI `ance` round (mine -> train) on the 8-device mesh with
+    plain-NLL loss (the reference without --dro_type)."""
+    data = _write_marco(tmp_path)
 
     main([
         "ance",
@@ -266,6 +271,38 @@ def test_cli_ance_rounds_on_mesh(hf_checkpoint, tmp_path, capsys):
     assert "ndcg" in rounds[0] or any("ndcg" in k for k in rounds[0])
     # checkpoint written
     assert os.path.isdir(str(tmp_path / "ck_ance"))
+
+
+def test_cli_ance_miner_knobs(hf_checkpoint, tmp_path, capsys):
+    """The miner's run_ann_data_gen.py knobs through the CLI: fast search,
+    per-checkpoint embedding cache reuse, ann_chunk_factor query rotation,
+    fp32 sweep."""
+    data = _write_marco(tmp_path)
+    emb_cache = str(tmp_path / "embcache")
+    main([
+        "ance",
+        "--data-dir", str(data),
+        "--checkpoint", hf_checkpoint,
+        "--ckpt-dir", str(tmp_path / "ck_knobs"),
+        "--rounds", "1",
+        "--steps-per-round", "2",
+        "--batch-size", "8",
+        "--loss-kind", "nll",
+        "--search-method", "fast",
+        "--emb-cache-dir", emb_cache,
+        "--ann-chunk-factor", "2",
+        "--exact-fp32",
+        "--compile-cache", "",
+    ])
+    capsys.readouterr()
+    # embedding cache: one corpus file per checkpoint name
+    cached = os.listdir(emb_cache)
+    assert any(f.startswith("corpus_") and f.endswith(".npy")
+               for f in cached), cached
+    # chunk factor 2: round 0 mines only the first half of 8 train queries
+    ann = str(tmp_path / "ck_knobs" / "ann_data" / "ann_training_data_0")
+    qids = {int(line.split("\t")[0]) for line in open(ann)}
+    assert qids and qids <= set(range(4)), qids
 
 
 @pytest.mark.parametrize(

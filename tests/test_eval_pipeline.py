@@ -154,3 +154,58 @@ def test_eval_beir_length_buckets_same_metrics(tmp_path, tiny_tokenizer):
     for key in ("ndcg_cut_10", "recall_10", "mrr"):
         if key in m_plain:
             assert m_plain[key] == m_buck[key], key
+
+
+def test_load_top_dev_and_combined_mrr(tmp_path):
+    """The reference's top1000.dev rerank mode: candidates parsed into
+    offset space, rerank MRR computed from the same embedding pass as the
+    full-ranking MRR (warmup/utils/eval_mrr.py:166-229)."""
+    import jax
+
+    from cocodr_tpu.data.records import RecordWriter, TokenCache
+    from cocodr_tpu.evals.mrr_eval import combined_mrr, load_top_dev
+
+    rng = np.random.RandomState(0)
+    qp, pp = str(tmp_path / "q"), str(tmp_path / "p")
+    with RecordWriter(qp, 8) as w:
+        for i in range(4):
+            w.write([2] + rng.randint(5, 14, size=3).tolist() + [3])
+    with RecordWriter(pp, 8) as w:
+        for i in range(12):
+            w.write([2] + rng.randint(5, 14, size=4).tolist() + [3])
+    qc, pc = TokenCache(qp), TokenCache(pp)
+
+    # raw-id candidate file -> offset space
+    qid2off = {100 + i: i for i in range(4)}
+    pid2off = {700 + i: i for i in range(12)}
+    top_path = str(tmp_path / "top1000.dev")
+    with open(top_path, "w") as f:
+        for qid in (100, 101, 102, 103):
+            for pid in range(700, 706):  # only the first half as candidates
+                f.write(f"{qid}\t{pid}\tquery text\tpassage text\n")
+        f.write("999\t700\tunknown qid skipped\n")
+    cands = load_top_dev(top_path, qid2off, pid2off)
+    assert set(cands) == {0, 1, 2, 3}
+    assert cands[0] == list(range(6))
+
+    cfg = BertConfig.tiny()
+    model = build_dual_encoder("rdot_nll_condenser", cfg)
+    params = model.init(
+        jax.random.PRNGKey(0),
+        jnp.ones((1, 8), jnp.int32),
+        jnp.ones((1, 8), jnp.int32),
+    )["params"]
+    qrels = {q: [q * 2] for q in range(4)}  # some targets outside candidates
+    m = combined_mrr(model, params, qc, pc, qrels, candidates=cands,
+                     top_k=10, batch_size=4)
+    assert "MRR @10" in m and "rerank_MRR @10" in m
+    # rerank over a candidate SUBSET can never beat full ranking on recall
+    # of the planted positives outside the subset: q3's target pid 6 is
+    # not a candidate, so rerank MRR must not count it
+    assert 0.0 <= m["rerank_MRR @10"] <= 1.0
+
+    # with ALL passages as candidates, rerank == full ranking exactly
+    all_cands = {q: list(range(12)) for q in range(4)}
+    m2 = combined_mrr(model, params, qc, pc, qrels, candidates=all_cands,
+                      top_k=10, batch_size=4)
+    assert m2["rerank_MRR @10"] == pytest.approx(m2["MRR @10"], abs=1e-9)
