@@ -189,6 +189,96 @@ def blockmax_sweep_pallas(
     return out_t.T[:Q]
 
 
+def _topk_kernel(x_ref, vals_ref, ids_ref, xs_ref, *, k: int, width: int):
+    """Iterative extract-max top-k over a VMEM-resident [QB, W] block.
+
+    XLA's TopK lowers to a full variadic sort — measured ~3.1 ms FLAT for
+    any [1024, 250..2000] f32 input at k=100 on v5e (sort cost is
+    shuffle-bound, k-independent). For k << W an extract-max loop is far
+    cheaper: k passes of (row max, first-argmax, mask) — all dense VPU ops,
+    no cross-lane shuffles. Measured 0.4-1.0 ms for the same shapes (see
+    pallas_topk docstring).
+
+    Tie semantics match lax.top_k: equal values yield the lowest index
+    first (the argmax is min-over-equal-positions, and only that position
+    is masked per iteration)."""
+    xs_ref[:] = x_ref[:]
+    QB = xs_ref.shape[0]
+    neg = (
+        jnp.finfo(xs_ref.dtype).min
+        if jnp.issubdtype(xs_ref.dtype, jnp.floating)
+        else jnp.iinfo(xs_ref.dtype).min
+    )
+    iota_w = jax.lax.broadcasted_iota(jnp.int32, (QB, width), 1)
+    iota_k = jax.lax.broadcasted_iota(jnp.int32, (QB, k), 1)
+
+    def body(i, _):
+        x = xs_ref[:]
+        m = jnp.max(x, axis=1)  # [QB]
+        hit = x == m[:, None]
+        a = jnp.min(jnp.where(hit, iota_w, width), axis=1)  # first argmax
+        xs_ref[:] = jnp.where(iota_w == a[:, None], neg, x)
+        sel = iota_k == i
+        vals_ref[:] = jnp.where(sel, m[:, None], vals_ref[:])
+        ids_ref[:] = jnp.where(sel, a[:, None], ids_ref[:])
+        return 0
+
+    vals_ref[:] = jnp.full((QB, k), neg, vals_ref.dtype)
+    ids_ref[:] = jnp.zeros((QB, k), jnp.int32)
+    jax.lax.fori_loop(0, k, body, 0)
+
+
+@functools.partial(jax.jit, static_argnames=("k", "q_block", "interpret"))
+def pallas_topk(
+    x: jnp.ndarray,
+    k: int,
+    q_block: int = 256,
+    interpret: bool = False,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Exact top-k along the last axis of [Q, W] (f32 or int32), lowest
+    index first on ties — drop-in for jax.lax.top_k where k << W.
+
+    Measured (v5e, Q=1024, k=100, best-of-3): [Q,800] 0.63 ms and [Q,1952]
+    1.33 ms vs lax.top_k's 3.14 / 3.47 ms — the selection phases of the
+    hierarchical search are built from these calls (see
+    mips_topk_hierarchical)."""
+    Q, W = x.shape
+    assert k <= W, (k, W)
+    neg = (
+        jnp.finfo(x.dtype).min if jnp.issubdtype(x.dtype, jnp.floating)
+        else jnp.iinfo(x.dtype).min
+    )
+    wpad = (-W) % 128
+    if wpad:
+        x = jnp.pad(x, ((0, 0), (0, wpad)), constant_values=neg)
+    Wp = W + wpad
+    qb = min(q_block, max(8, -(-Q // 8) * 8))
+    qpad = (-Q) % qb
+    if qpad:
+        x = jnp.pad(x, ((0, qpad), (0, 0)), constant_values=neg)
+    Qp = Q + qpad
+
+    vals, ids = pl.pallas_call(
+        functools.partial(_topk_kernel, k=k, width=Wp),
+        grid=(Qp // qb,),
+        in_specs=[
+            pl.BlockSpec((qb, Wp), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((qb, k), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((qb, k), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((Qp, k), x.dtype),
+            jax.ShapeDtypeStruct((Qp, k), jnp.int32),
+        ),
+        scratch_shapes=[pltpu.VMEM((qb, Wp), x.dtype)],
+        interpret=interpret,
+    )(x)
+    return vals[:Q], ids[:Q]
+
+
 def _select_coarse_blocks(bm_coarse, kc: int, supers: int, k_super: int):
     """Top-kc coarse blocks via an optional super level.
 
@@ -228,6 +318,76 @@ def _select_coarse_blocks(bm_coarse, kc: int, supers: int, k_super: int):
     kc = min(kc, ks * supers)
     _, pos_c = jax.lax.top_k(c_max, kc)
     return jnp.take_along_axis(c_cand, pos_c, axis=1)  # [Q, kc]
+
+
+def _select_fine_blocks(bm_fine_q, bm_coarse, k_sel: int, k_fine: int,
+                        coarse: int, supers: int, n_fine_real: int,
+                        k_super: int, interpret: bool):
+    """Fine-block selection: super top-k -> DIRECT fine top-k among the
+    surviving supers' fine maxima (the coarse re-select level is gone).
+
+    bm_fine_q [Q, n_fine] query-major fine maxima; bm_coarse [Q, n_coarse]
+    (-inf/INT_MIN on padded columns). Returns (vals, ids): the k_fine best
+    fine-block maxima and their fine-block ids.
+
+    Two-call structure: ONE lax.top_k over the [Q, ~2k] super maxima plus
+    ONE pallas_topk over the [Q, k_super*supers*coarse] gathered fine runs.
+    lax.top_k costs ~3.1 ms FLAT per call on v5e (full-sort lowering), so
+    collapsing the old coarse-re-select + fine pair (2 sorts + gather,
+    ~6.6 ms) into one extract-max top-k (~3.6 ms at width 6464) buys ~2.5 ms
+    per search. Losslessness is the same coverage chain: a fine block with
+    max >= s_k has a super ancestor with max >= s_k, and at most k_super
+    supers qualify, so every qualifying fine block survives the gather."""
+    Q, n_coarse = bm_coarse.shape
+    neg = (
+        -jnp.inf if jnp.issubdtype(bm_coarse.dtype, jnp.floating)
+        else jnp.iinfo(bm_coarse.dtype).min
+    )
+    if supers <= 1 or n_coarse <= supers * k_sel:
+        # small corpus: single coarse top_k then fine top_k (legacy path)
+        kc = min(k_sel, n_coarse)
+        _, coarse_ids = jax.lax.top_k(bm_coarse, kc)
+        fine_max = jnp.take_along_axis(
+            bm_fine_q.reshape(Q, n_coarse, coarse),
+            coarse_ids[:, :, None], axis=1,
+        ).reshape(Q, kc * coarse)
+        fine_cand = (
+            coarse_ids[:, :, None] * coarse
+            + jnp.arange(coarse, dtype=jnp.int32)[None, None, :]
+        ).reshape(Q, kc * coarse)
+        fine_max = jnp.where(fine_cand < n_fine_real, fine_max, neg)
+        kf = min(k_fine, n_fine_real)
+        vals, pos = jax.lax.top_k(fine_max, kf)
+        return vals, jnp.take_along_axis(fine_cand, pos, axis=1)
+
+    n_super = -(-n_coarse // supers)
+    pad_c = n_super * supers - n_coarse
+    bm_c_p = (
+        jnp.pad(bm_coarse, ((0, 0), (0, pad_c)), constant_values=neg)
+        if pad_c else bm_coarse
+    )
+    sup = jnp.max(bm_c_p.reshape(Q, n_super, supers), axis=2)
+    ks = min(k_super, n_super)
+    _, sup_ids = jax.lax.top_k(sup, ks)  # [Q, ks]
+
+    fps = supers * coarse  # fine blocks per super block
+    n_fine = bm_fine_q.shape[1]
+    pad_f = n_super * fps - n_fine
+    bm_f_p = (
+        jnp.pad(bm_fine_q, ((0, 0), (0, pad_f)), constant_values=neg)
+        if pad_f else bm_fine_q
+    )
+    fine_max = jnp.take_along_axis(
+        bm_f_p.reshape(Q, n_super, fps), sup_ids[:, :, None], axis=1
+    ).reshape(Q, ks * fps)
+    fine_cand = (
+        sup_ids[:, :, None] * fps
+        + jnp.arange(fps, dtype=jnp.int32)[None, None, :]
+    ).reshape(Q, ks * fps)
+    fine_max = jnp.where(fine_cand < n_fine_real, fine_max, neg)
+    kf = min(k_fine, n_fine_real)
+    vals, pos = pallas_topk(fine_max, kf, interpret=interpret)
+    return vals, jnp.take_along_axis(fine_cand, pos, axis=1)
 
 
 def _pad_replicate(corpus, multiple):
@@ -313,29 +473,14 @@ def mips_topk_hierarchical(
         (jnp.arange(n_coarse) < n_coarse_real)[:, None], bm_coarse_t, -jnp.inf
     ).T  # [Q, n_coarse]
     extra = 1 if N % cb else 0
-    kc = min(k + extra, n_coarse)
-    coarse_ids = _select_coarse_blocks(
-        bm_coarse, kc, supers, k_super=k + (1 if N % (cb * supers) else 0)
-    )  # [Q, kc]
-
-    # phase 2b: fine maxima within surviving coarse blocks. In query-major
-    # layout the `coarse` fine maxima of one coarse block are contiguous, so
-    # this is a run-gather of 4*coarse-byte slices along the minor axis
-    # (measured ~2.7x faster than the corpus-major scattered gather).
-    fine_max = jnp.take_along_axis(
-        bm_fine_q.reshape(Q, n_coarse, coarse),
-        coarse_ids[:, :, None],
-        axis=1,
-    ).reshape(Q, kc * coarse)
-    fine_cand = (
-        coarse_ids[:, :, None] * coarse
-        + jnp.arange(coarse, dtype=jnp.int32)[None, None, :]
-    ).reshape(Q, kc * coarse)
-    # mask padded FINE blocks here (cheaper than masking the big array)
-    fine_max = jnp.where(fine_cand < n_fine_real, fine_max, -jnp.inf)
-    kf = min(k + extra, n_fine_real)
-    _, pos = jax.lax.top_k(fine_max, kf)
-    fine_ids = jnp.take_along_axis(fine_cand, pos, axis=1)  # [Q, kf]
+    # phase 2: super top-k -> fine top-k directly (see _select_fine_blocks)
+    _, fine_ids = _select_fine_blocks(
+        bm_fine_q, bm_coarse, k_sel=min(k + extra, n_coarse),
+        k_fine=k + extra, coarse=coarse, supers=supers,
+        n_fine_real=n_fine_real,
+        k_super=k + (1 if N % (cb * supers) else 0), interpret=interpret,
+    )  # [Q, kf]
+    kf = fine_ids.shape[1]
 
     # phase 3: rescore candidates. Candidates are whole fine blocks, so the
     # gather moves fine*D contiguous bytes per index (12KB at fine=8) —
@@ -358,7 +503,9 @@ def mips_topk_hierarchical(
             "qd,qkd->qk", q_c, rows, preferred_element_type=jnp.float32
         )
         scores = jnp.where(cand < N, scores, -jnp.inf)
-        v, pos = jax.lax.top_k(scores, k)
+        # extract-max top-k beats the lax full-sort lowering here too
+        # (2.7 vs 3.1 ms at [1024, 808] k=100; same tie semantics)
+        v, pos = pallas_topk(scores, k, interpret=interpret)
         return v, jnp.take_along_axis(cand, pos, axis=1)
 
     # keep the per-chunk gather buffer under ~1.5GB bf16
@@ -437,22 +584,12 @@ def mips_topk_fast(
     bm_coarse = jnp.where(
         (jnp.arange(n_coarse) < n_coarse_real)[:, None], bm_coarse_t, -jnp.inf
     ).T  # [Q, n_coarse]
-    kc = min(k, n_coarse)
-    coarse_ids = _select_coarse_blocks(bm_coarse, kc, supers, k_super=k)
-
-    fine_max = jnp.take_along_axis(
-        bm_fine_q.reshape(Q, n_coarse, coarse),
-        coarse_ids[:, :, None],
-        axis=1,
-    ).reshape(Q, kc * coarse)
-    fine_cand = (
-        coarse_ids[:, :, None] * coarse
-        + jnp.arange(coarse, dtype=jnp.int32)[None, None, :]
-    ).reshape(Q, kc * coarse)
-    fine_max = jnp.where(fine_cand < n_fine_real, fine_max, -jnp.inf)
-    kk = min(k, n_fine_real)
-    vals, pos = jax.lax.top_k(fine_max, kk)
-    blocks = jnp.take_along_axis(fine_cand, pos, axis=1)
+    vals, blocks = _select_fine_blocks(
+        bm_fine_q, bm_coarse, k_sel=min(k, n_coarse), k_fine=k,
+        coarse=coarse, supers=supers, n_fine_real=n_fine_real, k_super=k,
+        interpret=interpret,
+    )
+    kk = vals.shape[1]
 
     bits = jax.lax.bitcast_convert_type(vals, jnp.int32)
     ids = jnp.minimum(blocks * fine + (bits & 7), N - 1)
@@ -542,22 +679,12 @@ def mips_topk_int8(
     bm_coarse = jnp.where(
         (jnp.arange(n_coarse) < n_coarse_real)[:, None], bm_coarse_t, NEG
     ).T
-    kc = min(k, n_coarse)
-    coarse_ids = _select_coarse_blocks(bm_coarse, kc, supers, k_super=k)
-
-    fine_max = jnp.take_along_axis(
-        bm_fine_q.reshape(Q, n_coarse, coarse),
-        coarse_ids[:, :, None],
-        axis=1,
-    ).reshape(Q, kc * coarse)
-    fine_cand = (
-        coarse_ids[:, :, None] * coarse
-        + jnp.arange(coarse, dtype=jnp.int32)[None, None, :]
-    ).reshape(Q, kc * coarse)
-    fine_max = jnp.where(fine_cand < n_fine_real, fine_max, NEG)
-    kk = min(k, n_fine_real)
-    vals, pos = jax.lax.top_k(fine_max, kk)
-    blocks = jnp.take_along_axis(fine_cand, pos, axis=1)
+    vals, blocks = _select_fine_blocks(
+        bm_fine_q, bm_coarse, k_sel=min(k, n_coarse), k_fine=k,
+        coarse=coarse, supers=supers, n_fine_real=n_fine_real, k_super=k,
+        interpret=interpret,
+    )
+    kk = vals.shape[1]
 
     ids = jnp.minimum(blocks * fine + (vals & 7), N - 1)
     scores = (vals >> 3).astype(jnp.float32) * q_scale[:, None]
