@@ -58,6 +58,7 @@ def test_generate_negatives_filters_positive():
     assert mrr[1] == pytest.approx(1 / 3)
 
 
+@pytest.mark.slow
 def test_ance_loop_improves(tmp_path):
     qp, pp, positives, dev_qrels = _make_dataset(tmp_path)
     bert = BertConfig.tiny()

@@ -50,6 +50,7 @@ def _model_state(dro=False):
     return model, state, step, tx
 
 
+@pytest.mark.slow
 def test_async_producer_consumer(tmp_path):
     """mine_loop + train_loop coupled only through the filesystem."""
     qp, pp, positives, dev_qrels = _dataset(tmp_path)
@@ -145,6 +146,7 @@ def test_multivector_encode(tmp_path):
     assert emb.shape == (3, 768)
 
 
+@pytest.mark.slow
 def test_warmup_resume_fast_forward(tmp_path):
     from cocodr_tpu.pipelines.warmup import WarmupConfig, run_warmup
 
@@ -174,6 +176,7 @@ def test_warmup_resume_fast_forward(tmp_path):
     assert int(s2.step) == 5
 
 
+@pytest.mark.slow
 def test_mine_multichunk_corpus(tmp_path):
     """Mining over a multi-chunk long-doc corpus: rows map back to docs,
     negatives are doc ids, dev eval dedupes chunks."""

@@ -58,6 +58,7 @@ def _write_beir(tmp_path):
     return str(beir)
 
 
+@pytest.mark.slow
 def test_load_model_params_backbone_and_head(hf_checkpoint):
     model, params, cfg = _load_model_params(hf_checkpoint, "rdot_nll_condenser")
     assert "encoder" in params and "head" not in params
@@ -94,6 +95,7 @@ def test_cli_eval_beir(hf_checkpoint, tmp_path, capsys):
     assert metrics["num_queries"] == 4
 
 
+@pytest.mark.slow
 def test_cli_coco(hf_checkpoint, tmp_path, capsys):
     # spans from the same corpus
     data_dir = _write_beir(tmp_path)
@@ -137,6 +139,7 @@ def test_cli_coco(hf_checkpoint, tmp_path, capsys):
     assert latest_checkpoint(str(tmp_path / "coco_ck")).endswith("3")
 
 
+@pytest.mark.slow
 def test_cli_warmup_and_eval_on_mesh(hf_checkpoint, tmp_path, capsys):
     """VERDICT r1 item 2: warmup + eval end-to-end THROUGH the sharded code
     path on the 8-device fake mesh (--mesh 8x1 -> shard_train_init +
@@ -246,6 +249,7 @@ def _write_marco(tmp_path):
     return data
 
 
+@pytest.mark.slow
 def test_cli_ance_rounds_on_mesh(hf_checkpoint, tmp_path, capsys):
     """One full CLI `ance` round (mine -> train) on the 8-device mesh with
     plain-NLL loss (the reference without --dro_type)."""
@@ -273,6 +277,7 @@ def test_cli_ance_rounds_on_mesh(hf_checkpoint, tmp_path, capsys):
     assert os.path.isdir(str(tmp_path / "ck_ance"))
 
 
+@pytest.mark.slow
 def test_cli_ance_miner_knobs(hf_checkpoint, tmp_path, capsys):
     """The miner's run_ann_data_gen.py knobs through the CLI: fast search,
     per-checkpoint embedding cache reuse, ann_chunk_factor query rotation,
@@ -309,6 +314,7 @@ def test_cli_ance_miner_knobs(hf_checkpoint, tmp_path, capsys):
     "model_type",
     ["rdot_nll_condenser", "rdot_nll", "rdot_nll_multi_chunk", "dpr"],
 )
+@pytest.mark.slow
 def test_cli_export_roundtrip(hf_checkpoint, tmp_path, capsys, model_type):
     """export-hf writes a checkpoint that reloads with numerically identical
     embeddings for EVERY registry model type — including the rdot_nll
@@ -405,6 +411,7 @@ def test_cli_export_coco_orbax(hf_checkpoint, tmp_path, capsys):
     )
 
 
+@pytest.mark.slow
 def test_cli_async_two_job_pair(hf_checkpoint, tmp_path):
     """The REAL async protocol across process boundaries: ance-mine and
     ance-train as two concurrent CLI processes coupled only through the
@@ -460,6 +467,7 @@ def test_cli_async_two_job_pair(hf_checkpoint, tmp_path):
     assert latest_checkpoint(ck) is not None, tout[-1500:]
 
 
+@pytest.mark.slow
 def test_cli_coco_on_mesh(hf_checkpoint, tmp_path, capsys):
     """COCO pretraining through the 8-device sharded path: batch docs (2
     spans each) sharded over data, GSPMD inserting the contrastive

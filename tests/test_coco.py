@@ -78,6 +78,7 @@ def test_greedy_pack():
     assert all(len(s) <= 9 for s in spans)
 
 
+@pytest.mark.slow
 def test_grad_cache_matches_full_batch():
     """Chunked grad-cache step must equal the direct full-batch step."""
     cfg = BertConfig.tiny()
@@ -173,6 +174,7 @@ def test_grad_cache_matches_full_batch():
     assert np.isfinite(float(metrics["loss"]))
 
 
+@pytest.mark.slow
 def test_coco_step_no_cache_runs():
     cfg = BertConfig.tiny()
     model = CoCondenserForPretraining(cfg, n_head_layers=1, skip_from=1)
@@ -215,6 +217,7 @@ def _write_span_corpus(path, n_docs=16, seed=0):
             f.write(json.dumps({"spans": spans}) + "\n")
 
 
+@pytest.mark.slow
 def test_coco_kill_and_restart_resumes_identically(tmp_path, tokenizer):
     """Save at step 2, 'crash', restart from disk with the span stream
     fast-forwarded — the step-4 state must be bit-identical to an

@@ -92,6 +92,7 @@ def world(tmp_path_factory):
     }
 
 
+@pytest.mark.slow
 def test_full_recipe(world, tmp_path):
     tok = world["tok"]
     bert = BertConfig.tiny()

@@ -46,6 +46,7 @@ def _triplet_batch(B=4, S=8, seed=0):
     }
 
 
+@pytest.mark.slow
 def test_dropout_stochastic_and_deterministic_paths():
     """Different dropout rngs -> different updates; no rng -> deterministic
     and unchanged across calls (the reference trains warmup/ANCE with
@@ -107,6 +108,7 @@ def token_caches(tmp_path):
     return TokenCache(qp), TokenCache(pp)
 
 
+@pytest.mark.slow
 def test_train_loop_kill_and_restart_resumes_identically(
     tmp_path, token_caches
 ):
@@ -289,6 +291,7 @@ def test_episode_decay_schedule_config():
     assert tx is not None
 
 
+@pytest.mark.slow
 def test_towers_draw_independent_dropout_masks():
     """pos and neg towers on IDENTICAL inputs must differ under dropout —
     the reference's three torch forwards draw independent masks."""

@@ -2,6 +2,8 @@
 compile, run, and match the replicated-params result numerically."""
 import numpy as np
 
+import pytest
+
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
@@ -63,6 +65,7 @@ def test_tp_forward_matches_replicated():
     )
 
 
+@pytest.mark.slow
 def test_tp_train_step_runs():
     import optax
 

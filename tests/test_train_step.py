@@ -50,6 +50,7 @@ def _setup(loss_kind, dro=None):
 
 
 @pytest.mark.parametrize("loss_kind", ["nll", "dro-greedy", "idro"])
+@pytest.mark.slow
 def test_modes_run_and_learn(loss_kind):
     dro = DroConfig(n_groups=4) if loss_kind != "nll" else None
     state, step, batch, _ = _setup(loss_kind, dro)
@@ -87,6 +88,7 @@ def test_split_last_k_layers_roundtrip():
     )
 
 
+@pytest.mark.slow
 def test_idro_group_grads_only_last_k():
     """The per-group gradient buffer has the last-k-layers dimensionality."""
     from cocodr_tpu.losses import per_group_grads
@@ -113,6 +115,7 @@ def test_idro_group_grads_only_last_k():
     assert np.abs(np.asarray(gg)).max() > 0
 
 
+@pytest.mark.slow
 def test_nll_multichunk_trains_end_to_end():
     """Long-doc mode: rdot_nll_multi_chunk model + nll_multichunk step
     (reference NLL_MultiChunk, ANCE/model/models.py:307-399). Padded chunks
