@@ -252,7 +252,11 @@ def pallas_topk(
     if wpad:
         x = jnp.pad(x, ((0, 0), (0, wpad)), constant_values=neg)
     Wp = W + wpad
-    qb = min(q_block, max(8, -(-Q // 8) * 8))
+    # scoped VMEM is ~16MB: the kernel holds the input block, a same-size
+    # scratch, and double-buffering — cap the block at ~4MB so wide inputs
+    # (e.g. [Q, 12800] from the fps=128 fine select) still fit
+    fit = max(8, (4 * 1024 * 1024 // (Wp * x.dtype.itemsize)) // 8 * 8)
+    qb = min(q_block, fit, max(8, -(-Q // 8) * 8))
     qpad = (-Q) % qb
     if qpad:
         x = jnp.pad(x, ((0, qpad), (0, 0)), constant_values=neg)
@@ -368,7 +372,9 @@ def _select_fine_blocks(bm_fine_q, bm_coarse, k_sel: int, k_fine: int,
     )
     sup = jnp.max(bm_c_p.reshape(Q, n_super, supers), axis=2)
     ks = min(k_super, n_super)
-    _, sup_ids = jax.lax.top_k(sup, ks)  # [Q, ks]
+    # extract-max here too: [Q, ~2k] k~100 is 1.3 ms pallas vs 3.5 ms for
+    # the lax full-sort lowering (see pallas_topk docstring)
+    _, sup_ids = pallas_topk(sup, ks, interpret=interpret)  # [Q, ks]
 
     fps = supers * coarse  # fine blocks per super block
     n_fine = bm_fine_q.shape[1]
@@ -377,12 +383,28 @@ def _select_fine_blocks(bm_fine_q, bm_coarse, k_sel: int, k_fine: int,
         jnp.pad(bm_fine_q, ((0, 0), (0, pad_f)), constant_values=neg)
         if pad_f else bm_fine_q
     )
-    fine_max = jnp.take_along_axis(
-        bm_f_p.reshape(Q, n_super, fps), sup_ids[:, :, None], axis=1
-    ).reshape(Q, ks * fps)
     fine_cand = (
         sup_ids[:, :, None] * fps
         + jnp.arange(fps, dtype=jnp.int32)[None, None, :]
+    ).reshape(Q, ks * fps)
+    # Run-gather the surviving supers' fine maxima as a flat ROW gather:
+    # view the [Q, n_fine] sweep output as [Q*n_super, fps] (row-major
+    # contiguity preserved — a pure bitcast, no relayout) and jnp.take
+    # whole fps-rows — the canonical fast TPU gather form (same engine
+    # path as the rescore's corpus-block gather). Device-traced
+    # alternatives at 1M docs, all rejected:
+    #   reshape(Q, n_super, fps) + take_along_axis(axis=1): fast gather,
+    #     but XLA layout assignment relayouts the 512MB sweep output TWICE
+    #     ({1,0}->{0,1}->{2,1,0} — a net no-op, ~3.9 ms/search of copies);
+    #   element-flat take_along_axis: no copies, ~67 ms scalar-gather
+    #     fusion;
+    #   vmapped dynamic_slice / hand-built run lax.gather: both serialized
+    #     into a ~146 ms 200k-step while loop.
+    flat_rows = (
+        jnp.arange(Q, dtype=jnp.int32)[:, None] * n_super + sup_ids
+    )  # [Q, ks]
+    fine_max = jnp.take(
+        bm_f_p.reshape(Q * n_super, fps), flat_rows, axis=0
     ).reshape(Q, ks * fps)
     fine_max = jnp.where(fine_cand < n_fine_real, fine_max, neg)
     kf = min(k_fine, n_fine_real)

@@ -24,7 +24,12 @@ import numpy as np
 class ServeConfig:
     top_k: int = 10
     max_query_len: int = 64
-    max_batch: int = 64  # queries padded to this static batch size
+    # queries are padded to a power-of-two bucket (min 8) capped at
+    # max_batch, NOT always to max_batch: a 1-query REPL call encodes 8
+    # rows, not 64. Each bucket is a separate jit specialization (compiled
+    # once, cached); max_batch bounds the compile count and remains the
+    # throughput batch for bulk callers.
+    max_batch: int = 64
     exact_fp32: bool = False
     # rescore-free block-argmax search (~1.25x lower latency, ~99.7%
     # recall@100 — pallas_mips.mips_topk_fast); ignored with exact_fp32
@@ -140,6 +145,18 @@ class RetrievalService:
             )
         )
 
+    def _bucket(self, nq: int) -> int:
+        """Static batch size for nq queries: next power of two >= nq
+        (min 8), capped at max_batch; above max_batch, the next multiple
+        of max_batch (bulk callers keep the full-batch program)."""
+        cap = self.cfg.max_batch
+        if nq >= cap:
+            return nq + ((-nq) % cap)
+        b = 8
+        while b < nq:
+            b *= 2
+        return min(b, cap)
+
     def _tokenize(self, texts: List[str]):
         out = self.tokenizer(
             texts,
@@ -164,7 +181,7 @@ class RetrievalService:
 
         k = top_k or self.cfg.top_k
         nq = len(queries)
-        pad = (-nq) % self.cfg.max_batch
+        pad = self._bucket(nq) - nq
         ids, mask = self._tokenize(queries + [""] * pad)
         emb = self._encode(self.params, jnp.asarray(ids), jnp.asarray(mask))
 

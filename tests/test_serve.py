@@ -48,9 +48,18 @@ def test_retrieval_service(tmp_path):
     assert scores.shape == (2, 2)
     assert ids[0][0] == "dA"
     assert ids[1][0] == "dC"
-    # batching pads to max_batch transparently
+    # batching pads to a bucket transparently
     scores, ids = svc.search(["beta beta"])
     assert ids[0][0] == "dB"
+
+    # small-batch REPL calls pad to a power-of-two bucket, not max_batch
+    assert svc._bucket(1) == 4  # min(8, max_batch=4)
+    svc.cfg.max_batch = 64
+    assert svc._bucket(1) == 8
+    assert svc._bucket(9) == 16
+    assert svc._bucket(64) == 64
+    assert svc._bucket(65) == 128  # bulk: next max_batch multiple
+    assert svc._bucket(130) == 192
 
 
 def test_episode_rewarmup_schedule():
