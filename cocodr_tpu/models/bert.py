@@ -63,6 +63,15 @@ class BertConfig:
     # (ops/pallas_attention.attention) for experimentation; it dispatches
     # to XLA automatically off-TPU and under attention-prob dropout.
     attention_impl: str = "einsum"
+    # FFN formulation. 'fused' (default): the pallas kernel
+    # (ops/pallas_ffn) keeps the [tokens, 4H] intermediate in VMEM instead
+    # of materializing ~200MB through HBM per layer (device-traced: the XLA
+    # FFN output-fusion runs 2.72 ms/layer vs ~1.57 ms of pure matmul at
+    # B=256 S=128; measured end-to-end encode 52.3 -> 45.5 ms/batch, +15%,
+    # same-session A/B). Dispatches to the XLA pair automatically off-TPU,
+    # for weights beyond the VMEM budget (bert-large), and on the backward
+    # pass (recompute-through-XLA VJP). 'dense': always the XLA pair.
+    ffn_impl: str = "fused"
 
     @classmethod
     def roberta_base(cls, **kw) -> "BertConfig":
@@ -263,6 +272,28 @@ class BertSelfAttention(nn.Module):
         return out
 
 
+class _DenseParams(nn.Module):
+    """Parameter-only twin of nn.Dense (identical tree: kernel/bias) for
+    paths that consume the weights inside a fused kernel. Named the same as
+    the nn.Dense it replaces, so checkpoints/HF converters see one layout
+    regardless of ffn_impl."""
+
+    features_in: int
+    features_out: int
+    cfg: BertConfig
+
+    @nn.compact
+    def __call__(self):
+        k = self.param(
+            "kernel", _dense_init(self.cfg),
+            (self.features_in, self.features_out), jnp.float32,
+        )
+        b = self.param(
+            "bias", nn.initializers.zeros, (self.features_out,), jnp.float32
+        )
+        return k, b
+
+
 class BertLayer(nn.Module):
     """One post-LN transformer block (also used standalone as Condenser c_head)."""
 
@@ -280,21 +311,44 @@ class BertLayer(nn.Module):
         h = LayerNorm(cfg.layer_norm_eps, cfg.dtype, name="attention_layer_norm")(
             h + attn_out
         )
-        ffn = nn.Dense(
-            cfg.intermediate_size,
-            kernel_init=_dense_init(cfg),
-            param_dtype=jnp.float32,
-            dtype=cfg.dtype,
-            name="intermediate",
-        )(h)
-        ffn = _act(cfg.hidden_act)(ffn)
-        ffn = nn.Dense(
-            cfg.hidden_size,
-            kernel_init=_dense_init(cfg),
-            param_dtype=jnp.float32,
-            dtype=cfg.dtype,
-            name="ffn_output",
-        )(ffn)
+        if cfg.ffn_impl not in ("dense", "fused"):
+            raise ValueError(
+                f"ffn_impl must be 'dense' or 'fused', got {cfg.ffn_impl!r}"
+            )
+        if cfg.ffn_impl == "fused":
+            from cocodr_tpu.ops.pallas_ffn import ffn as fused_ffn_op
+
+            w1, b1 = _DenseParams(
+                cfg.hidden_size, cfg.intermediate_size, cfg,
+                name="intermediate",
+            )()
+            w2, b2 = _DenseParams(
+                cfg.intermediate_size, cfg.hidden_size, cfg,
+                name="ffn_output",
+            )()
+            B_, S_, H_ = h.shape
+            ffn = fused_ffn_op(
+                h.reshape(B_ * S_, H_),
+                w1.astype(cfg.dtype), b1.astype(cfg.dtype),
+                w2.astype(cfg.dtype), b2.astype(cfg.dtype),
+                cfg.hidden_act,
+            ).reshape(B_, S_, H_)
+        else:
+            ffn = nn.Dense(
+                cfg.intermediate_size,
+                kernel_init=_dense_init(cfg),
+                param_dtype=jnp.float32,
+                dtype=cfg.dtype,
+                name="intermediate",
+            )(h)
+            ffn = _act(cfg.hidden_act)(ffn)
+            ffn = nn.Dense(
+                cfg.hidden_size,
+                kernel_init=_dense_init(cfg),
+                param_dtype=jnp.float32,
+                dtype=cfg.dtype,
+                name="ffn_output",
+            )(ffn)
         ffn = nn.Dropout(cfg.hidden_dropout_prob)(ffn, deterministic=deterministic)
         h = LayerNorm(cfg.layer_norm_eps, cfg.dtype, name="output_layer_norm")(
             h + ffn
