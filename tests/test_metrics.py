@@ -73,3 +73,58 @@ def test_msmarco_mrr():
     m = compute_mrr(qrels, run)
     assert m["MRR @10"] == pytest.approx((1.0 + 1 / 3 + 0.0) / 3)
     assert m["QueriesRanked"] == 3
+
+
+# ---------------------------------------------------------------------------
+# Randomized cross-validation (pytrec_eval is not installable in this image,
+# so the next-best check is a second, independently-written implementation:
+# array-based, computed from the trec_eval definitions with none of the
+# library's code structure). 200 random graded cases per metric.
+# ---------------------------------------------------------------------------
+
+
+def _np_metrics(ranked, qrel, k):
+    """Independent array-style scorer: gains vector + cumulative ops."""
+    g = np.array([float(qrel.get(d, 0.0)) for d in ranked[:k]])
+    discounts = 1.0 / np.log2(np.arange(len(g)) + 2.0)
+    ideal = np.sort([v for v in qrel.values() if v > 0])[::-1][:k]
+    idcg = float((ideal / np.log2(np.arange(len(ideal)) + 2.0)).sum())
+    ndcg = float((g * discounts).sum() / idcg) if idcg > 0 else 0.0
+
+    rel_mask = g > 0
+    n_rel = sum(1 for v in qrel.values() if v > 0)
+    precs = np.cumsum(rel_mask) / (np.arange(len(g)) + 1.0)
+    ap = float(precs[rel_mask].sum() / n_rel) if n_rel else 0.0
+
+    rel_ids = {d for d, v in qrel.items() if v > 0}
+    rec = (len(rel_ids & set(ranked[:k])) / len(rel_ids)) if rel_ids else 0.0
+
+    rr = 0.0
+    full_mask = np.array([qrel.get(d, 0.0) > 0 for d in ranked])
+    if full_mask.any():
+        rr = 1.0 / (int(np.argmax(full_mask)) + 1)
+
+    judged = np.array([d in qrel for d in ranked[:k]])
+    hole = float((~judged).mean()) if len(judged) else 0.0
+    return ndcg, ap, rec, rr, hole
+
+
+def test_metrics_randomized_cross_validation():
+    rng = np.random.RandomState(7)
+    for case in range(200):
+        n_docs = rng.randint(1, 40)
+        docs = [f"d{i}" for i in range(n_docs)]
+        # graded judgments over a random subset; sometimes all-zero grades
+        judged = rng.choice(docs, size=rng.randint(0, n_docs + 1),
+                            replace=False)
+        qrel = {d: int(rng.randint(0, 4)) for d in judged}
+        ranked = list(rng.permutation(docs)[: rng.randint(1, n_docs + 1)])
+        k = int(rng.randint(1, 15))
+        ndcg, ap, rec, rr, hole = _np_metrics(ranked, qrel, k)
+        assert ndcg_at_k(ranked, qrel, k) == pytest.approx(ndcg, abs=1e-12)
+        assert map_at_k(ranked, qrel, k) == pytest.approx(ap, abs=1e-12)
+        assert recall_at_k(ranked, qrel, k) == pytest.approx(rec, abs=1e-12)
+        assert recip_rank(ranked, qrel) == pytest.approx(rr, abs=1e-12)
+        assert hole_rate_at_k(ranked, qrel, k) == pytest.approx(
+            hole, abs=1e-12
+        )
