@@ -294,6 +294,19 @@ class _DenseParams(nn.Module):
         return k, b
 
 
+class _LNParams(nn.Module):
+    """Parameter-only twin of LayerNorm (identical tree: scale/bias) for
+    paths that consume the params inside a fused kernel."""
+
+    dim: int
+
+    @nn.compact
+    def __call__(self):
+        s = self.param("scale", nn.initializers.ones, (self.dim,), jnp.float32)
+        b = self.param("bias", nn.initializers.zeros, (self.dim,), jnp.float32)
+        return s, b
+
+
 class BertLayer(nn.Module):
     """One post-LN transformer block (also used standalone as Condenser c_head)."""
 
@@ -308,13 +321,42 @@ class BertLayer(nn.Module):
         attn_out = nn.Dropout(cfg.hidden_dropout_prob)(
             attn_out, deterministic=deterministic
         )
-        h = LayerNorm(cfg.layer_norm_eps, cfg.dtype, name="attention_layer_norm")(
-            h + attn_out
-        )
         if cfg.ffn_impl not in ("dense", "fused"):
             raise ValueError(
                 f"ffn_impl must be 'dense' or 'fused', got {cfg.ffn_impl!r}"
             )
+        if cfg.ffn_impl == "fused" and (
+            deterministic or cfg.hidden_dropout_prob == 0.0
+        ):
+            # Whole half-layer in one kernel: LN1 -> FFN -> +res -> LN2
+            # (ops/pallas_ffn.ffn_block) — both standalone [T, H] LayerNorm
+            # HBM round trips disappear. Only when no dropout sits between
+            # the FFN output and the residual add (the encode/eval hot
+            # path, or dropout-free training); otherwise the semi-fused
+            # path below keeps reference dropout placement.
+            from cocodr_tpu.ops.pallas_ffn import ffn_block
+
+            s1, c1 = _LNParams(cfg.hidden_size, name="attention_layer_norm")()
+            w1, b1 = _DenseParams(
+                cfg.hidden_size, cfg.intermediate_size, cfg,
+                name="intermediate",
+            )()
+            w2, b2 = _DenseParams(
+                cfg.intermediate_size, cfg.hidden_size, cfg,
+                name="ffn_output",
+            )()
+            s2, c2 = _LNParams(cfg.hidden_size, name="output_layer_norm")()
+            r = h + attn_out
+            B_, S_, H_ = r.shape
+            return ffn_block(
+                r.reshape(B_ * S_, H_), s1, c1,
+                w1.astype(cfg.dtype), b1.astype(cfg.dtype),
+                w2.astype(cfg.dtype), b2.astype(cfg.dtype),
+                s2, c2, cfg.hidden_act, cfg.layer_norm_eps,
+            ).reshape(B_, S_, H_)
+        h = LayerNorm(cfg.layer_norm_eps, cfg.dtype, name="attention_layer_norm")(
+            h + attn_out
+        )
         if cfg.ffn_impl == "fused":
             from cocodr_tpu.ops.pallas_ffn import ffn as fused_ffn_op
 

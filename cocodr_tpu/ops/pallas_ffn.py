@@ -44,11 +44,14 @@ def _erf_poly(x):
     return s * (1.0 - poly * jnp.exp(-ax * ax))
 
 
-def _act_fn(name: str):
+def _act_fn(name: str, in_kernel: bool = True):
     if name == "gelu":
-        # 0.5·x·(1+erf(x/√2)) — same function as
-        # jax.nn.gelu(approximate=False), erf per _erf_poly
-        return lambda x: 0.5 * x * (1.0 + _erf_poly(x * (2.0 ** -0.5)))
+        if in_kernel:
+            # 0.5·x·(1+erf(x/√2)) — same function as
+            # jax.nn.gelu(approximate=False), erf per _erf_poly (Mosaic
+            # lowers neither erf nor erfc)
+            return lambda x: 0.5 * x * (1.0 + _erf_poly(x * (2.0 ** -0.5)))
+        return lambda x: jax.nn.gelu(x, approximate=False)
     if name == "gelu_new":
         return lambda x: jax.nn.gelu(x, approximate=True)
     if name == "relu":
@@ -114,6 +117,140 @@ def fused_ffn(x, w1, b1, w2, b2, act: str = "gelu", token_tile: int = 256,
     return out[:T]
 
 
+def _ln(x32, scale_ref, bias_ref, eps):
+    """f32 LayerNorm over the last dim — the exact formulation of
+    models/bert.LayerNorm (mean/var stats, rsqrt(var+eps), scale+bias)."""
+    mean = jnp.mean(x32, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(x32 - mean), axis=-1, keepdims=True)
+    return (x32 - mean) * jax.lax.rsqrt(var + eps) * (
+        scale_ref[:].astype(jnp.float32)
+    ) + bias_ref[:].astype(jnp.float32)
+
+
+def _ffn_block_kernel(
+    r_ref, s1_ref, c1_ref, w1_ref, b1_ref, w2_ref, b2_ref, s2_ref, c2_ref,
+    out_ref, *, act: str, eps: float,
+):
+    """LN1 -> dense -> act -> dense -> +residual -> LN2, all in VMEM.
+
+    r is the PRE-LN1 residual sum (h + attention out). The residual into
+    LN2 is LN1's output u, per the post-LN block structure
+    (models/bert.BertLayer). u and the FFN output are added in f32 (the
+    unfused path adds in bf16 — strictly coarser rounding of the same sum).
+    """
+    u32 = _ln(r_ref[:].astype(jnp.float32), s1_ref, c1_ref, eps)  # [tt, H]
+    u = u32.astype(out_ref.dtype)
+    h = jax.lax.dot_general(
+        u, w1_ref[:], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    h = _act_fn(act)(h + b1_ref[:].astype(jnp.float32))
+    y = jax.lax.dot_general(
+        h.astype(u.dtype), w2_ref[:], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    z32 = u32 + y + b2_ref[:].astype(jnp.float32)
+    out_ref[:] = _ln(z32, s2_ref, c2_ref, eps).astype(out_ref.dtype)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("act", "eps", "token_tile", "interpret")
+)
+def fused_ffn_block(r, ln1_scale, ln1_bias, w1, b1, w2, b2, ln2_scale,
+                    ln2_bias, act: str = "gelu", eps: float = 1e-12,
+                    token_tile: int = 256, interpret: bool = False):
+    """Whole post-attention half-layer: LN1(r) -> FFN -> +res -> LN2.
+    r [T, H] in the compute dtype; LN params f32 [H]. Same VMEM budget as
+    fused_ffn plus two [tt, H] f32 temporaries (~1.5MB at bert-base)."""
+    T, H = r.shape
+    F = w1.shape[1]
+    tt = token_tile
+    pad = (-T) % tt
+    if pad:
+        r = jnp.pad(r, ((0, pad), (0, 0)))
+    Tp = T + pad
+
+    out = pl.pallas_call(
+        functools.partial(_ffn_block_kernel, act=act, eps=eps),
+        grid=(Tp // tt,),
+        in_specs=[
+            pl.BlockSpec((tt, H), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, H), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, H), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((H, F), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, F), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((F, H), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, H), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, H), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, H), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (tt, H), lambda i: (i, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((Tp, H), r.dtype),
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=4 * Tp * H * F,
+            bytes_accessed=2 * Tp * H * r.dtype.itemsize
+            + 2 * H * F * r.dtype.itemsize,
+            transcendentals=Tp * F,
+        ),
+    )(r, ln1_scale[None, :], ln1_bias[None, :], w1, b1[None, :], w2,
+      b2[None, :], ln2_scale[None, :], ln2_bias[None, :])
+    return out[:T]
+
+
+def _xla_ffn_block(r, ln1_scale, ln1_bias, w1, b1, w2, b2, ln2_scale,
+                   ln2_bias, act: str, eps: float):
+    """Unfused reference of the half-layer, replicating models/bert.py's
+    exact op sequence and dtypes (bf16 residual adds, f32 LN stats)."""
+    def ln(x, scale, bias):
+        x32 = x.astype(jnp.float32)
+        mean = jnp.mean(x32, axis=-1, keepdims=True)
+        var = jnp.mean(jnp.square(x32 - mean), axis=-1, keepdims=True)
+        y = (x32 - mean) * jax.lax.rsqrt(var + eps)
+        return (y * scale + bias).astype(x.dtype)
+
+    u = ln(r, ln1_scale, ln1_bias)
+    y = _xla_ffn(u, w1, b1, w2, b2, act)
+    return ln(u + y, ln2_scale, ln2_bias)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(9, 10))
+def ffn_block(r, ln1_scale, ln1_bias, w1, b1, w2, b2, ln2_scale, ln2_bias,
+              act: str, eps: float):
+    """Dispatching half-layer (LN1 -> FFN -> +res -> LN2): pallas on TPU
+    when the FFN weights fit VMEM, XLA sequence elsewhere. Backward is the
+    recompute-through-XLA VJP (cf. ffn)."""
+    w_bytes = (w1.size + w2.size) * w1.dtype.itemsize
+    if (_tpu_like_backend() and r.shape[0] % 8 == 0
+            and w_bytes <= 12 * 1024 * 1024):
+        return fused_ffn_block(
+            r, ln1_scale, ln1_bias, w1, b1, w2, b2, ln2_scale, ln2_bias,
+            act=act, eps=eps,
+        )
+    return _xla_ffn_block(
+        r, ln1_scale, ln1_bias, w1, b1, w2, b2, ln2_scale, ln2_bias, act, eps
+    )
+
+
+def _ffn_block_fwd(r, s1, c1, w1, b1, w2, b2, s2, c2, act, eps):
+    return (
+        ffn_block(r, s1, c1, w1, b1, w2, b2, s2, c2, act, eps),
+        (r, s1, c1, w1, b1, w2, b2, s2, c2),
+    )
+
+
+def _ffn_block_bwd(act, eps, res, ct):
+    _, vjp = jax.vjp(
+        lambda *a: _xla_ffn_block(*a, act, eps), *res
+    )
+    return vjp(ct)
+
+
+ffn_block.defvjp(_ffn_block_fwd, _ffn_block_bwd)
+
+
 def _tpu_like_backend() -> bool:
     try:
         return jax.default_backend() in ("tpu", "axon")
@@ -124,7 +261,7 @@ def _tpu_like_backend() -> bool:
 def _xla_ffn(x, w1, b1, w2, b2, act: str):
     """models/bert.py's nn.Dense pair formulation (bf16 compute) — the
     off-TPU / backward-pass reference."""
-    h = _act_fn(act)(jnp.dot(x, w1) + b1)
+    h = _act_fn(act, in_kernel=False)(jnp.dot(x, w1) + b1)
     return jnp.dot(h, w2) + b2
 
 
