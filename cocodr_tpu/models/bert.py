@@ -251,16 +251,35 @@ class BertSelfAttention(nn.Module):
                 q, k, v, attn_bias[:, 0, 0, :], float(1.0 / np.sqrt(D))
             )
         else:
-            # fp32 logits + softmax for stability under bf16 compute.
+            # fp32 logits + softmax statistics for stability under bf16
+            # compute. The softmax DIVISION is deferred to after the
+            # context matmul (softmax(s)·V == (exp(s-max)·V) / Σexp):
+            # device-traced, XLA otherwise materializes the f32 exp
+            # numerator [B, N, S, S] through HBM (100MB/layer at the bench
+            # shape) before the bf16 convert — normalizing the small
+            # [B, S, N, D] context instead halves that traffic. Dropout
+            # commutes with the division (elementwise scale).
             scores = jnp.einsum(
                 "bqnd,bknd->bnqk", q, k, preferred_element_type=jnp.float32
             )
             scores = scores * scale + attn_bias
-            probs = jax.nn.softmax(scores, axis=-1)
-            probs = nn.Dropout(cfg.attention_probs_dropout_prob)(
-                probs, deterministic=deterministic
+            m = jax.lax.stop_gradient(
+                jnp.max(scores, axis=-1, keepdims=True)
+            )
+            # single consumer of the f32 exp -> the fusion emits only the
+            # compute-dtype tensor; the denominator reads that one back
+            unnorm = jnp.exp(scores - m).astype(cfg.dtype)
+            denom = jnp.sum(
+                unnorm.astype(jnp.float32), axis=-1
+            )  # [B, N, S]
+            unnorm = nn.Dropout(cfg.attention_probs_dropout_prob)(
+                unnorm, deterministic=deterministic
+            )
+            ctx = jnp.einsum("bnqk,bknd->bqnd", unnorm, v)
+            ctx = (
+                ctx.astype(jnp.float32)
+                / jnp.swapaxes(denom, 1, 2)[..., None]
             ).astype(cfg.dtype)
-            ctx = jnp.einsum("bnqk,bknd->bqnd", probs, v)
         out = nn.DenseGeneral(
             H,
             axis=(-2, -1),
