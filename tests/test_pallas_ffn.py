@@ -146,3 +146,30 @@ def test_bert_forward_agrees_fused_vs_dense_deterministic():
     np.testing.assert_allclose(
         np.asarray(out_d[0]), np.asarray(out_f[0]), rtol=1e-5, atol=1e-5,
     )
+
+
+def test_fused_ffn_block_chunked_matches_unchunked_interpret():
+    """F-chunked (streamed-weights) kernel == resident-weights kernel."""
+    from cocodr_tpu.ops.pallas_ffn import fused_ffn_block
+
+    rng = np.random.default_rng(4)
+    T, H, F = 32, 128, 512
+    r = jnp.asarray(rng.standard_normal((T, H)) * 0.5, jnp.bfloat16)
+    s1 = jnp.asarray(1 + 0.1 * rng.standard_normal(H), jnp.float32)
+    c1 = jnp.asarray(0.1 * rng.standard_normal(H), jnp.float32)
+    w1 = jnp.asarray(rng.standard_normal((H, F)) * 0.05, jnp.bfloat16)
+    b1 = jnp.asarray(rng.standard_normal(F) * 0.02, jnp.bfloat16)
+    w2 = jnp.asarray(rng.standard_normal((F, H)) * 0.05, jnp.bfloat16)
+    b2 = jnp.asarray(rng.standard_normal(H) * 0.02, jnp.bfloat16)
+    s2 = jnp.asarray(1 + 0.1 * rng.standard_normal(H), jnp.float32)
+    c2 = jnp.asarray(0.1 * rng.standard_normal(H), jnp.float32)
+    base = fused_ffn_block(r, s1, c1, w1, b1, w2, b2, s2, c2, act="gelu",
+                           eps=1e-12, token_tile=16, interpret=True)
+    for nc in (2, 4):
+        got = fused_ffn_block(r, s1, c1, w1, b1, w2, b2, s2, c2, act="gelu",
+                              eps=1e-12, token_tile=16, f_chunks=nc,
+                              interpret=True)
+        np.testing.assert_allclose(
+            np.asarray(got, np.float32), np.asarray(base, np.float32),
+            rtol=2e-2, atol=2e-2,
+        )
