@@ -153,15 +153,54 @@ def _ffn_block_kernel(
     out_ref[:] = _ln(z32, s2_ref, c2_ref, eps).astype(out_ref.dtype)
 
 
+def _ffn_block_chunked_kernel(
+    r_ref, s1_ref, c1_ref, w1_ref, b1_ref, w2_ref, b2_ref, s2_ref, c2_ref,
+    out_ref, u_ref, acc_ref, *, act: str, eps: float, nc: int,
+):
+    """F-chunked half-layer: grid (token tiles, F chunks), chunk minor.
+    Weights stream through VMEM one [H, F/nc] + [F/nc, H] pair per step
+    (for models whose full FFN weights exceed VMEM, e.g. bert-large's
+    16MB bf16). LN1's output and the f32 accumulator persist in scratch
+    across a tile's chunk steps; LN2 runs on the last chunk."""
+    c = pl.program_id(1)
+
+    @pl.when(c == 0)
+    def _init():
+        u32 = _ln(r_ref[:].astype(jnp.float32), s1_ref, c1_ref, eps)
+        u_ref[:] = u32.astype(u_ref.dtype)
+        acc_ref[:] = u32 + b2_ref[:].astype(jnp.float32)
+
+    h = jax.lax.dot_general(
+        u_ref[:], w1_ref[:], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    h = _act_fn(act)(h + b1_ref[:].astype(jnp.float32))
+    y = jax.lax.dot_general(
+        h.astype(u_ref.dtype), w2_ref[:], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    acc_ref[:] += y
+
+    @pl.when(c == nc - 1)
+    def _fin():
+        out_ref[:] = _ln(acc_ref[:], s2_ref, c2_ref, eps).astype(
+            out_ref.dtype
+        )
+
+
 @functools.partial(
-    jax.jit, static_argnames=("act", "eps", "token_tile", "interpret")
+    jax.jit,
+    static_argnames=("act", "eps", "token_tile", "f_chunks", "interpret"),
 )
 def fused_ffn_block(r, ln1_scale, ln1_bias, w1, b1, w2, b2, ln2_scale,
                     ln2_bias, act: str = "gelu", eps: float = 1e-12,
-                    token_tile: int = 256, interpret: bool = False):
+                    token_tile: int = 256, f_chunks: int = 1,
+                    interpret: bool = False):
     """Whole post-attention half-layer: LN1(r) -> FFN -> +res -> LN2.
-    r [T, H] in the compute dtype; LN params f32 [H]. Same VMEM budget as
-    fused_ffn plus two [tt, H] f32 temporaries (~1.5MB at bert-base)."""
+    r [T, H] in the compute dtype; LN params f32 [H]. f_chunks=1 keeps the
+    weights VMEM-resident (bert-base: 9MB); f_chunks>1 streams them in
+    column/row chunks for larger models. Same VMEM budget as fused_ffn
+    plus two [tt, H] temporaries."""
     T, H = r.shape
     F = w1.shape[1]
     tt = token_tile
@@ -170,33 +209,86 @@ def fused_ffn_block(r, ln1_scale, ln1_bias, w1, b1, w2, b2, ln2_scale,
         r = jnp.pad(r, ((0, pad), (0, 0)))
     Tp = T + pad
 
+    args = (r, ln1_scale[None, :], ln1_bias[None, :], w1, b1[None, :], w2,
+            b2[None, :], ln2_scale[None, :], ln2_bias[None, :])
+    cost = pl.CostEstimate(
+        flops=4 * Tp * H * F,
+        bytes_accessed=2 * Tp * H * r.dtype.itemsize
+        + (Tp // tt if f_chunks > 1 else 1) * 2 * H * F * r.dtype.itemsize,
+        transcendentals=Tp * F,
+    )
+    if f_chunks == 1:
+        out = pl.pallas_call(
+            functools.partial(_ffn_block_kernel, act=act, eps=eps),
+            grid=(Tp // tt,),
+            in_specs=[
+                pl.BlockSpec((tt, H), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, H), lambda i: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, H), lambda i: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((H, F), lambda i: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, F), lambda i: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((F, H), lambda i: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, H), lambda i: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, H), lambda i: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, H), lambda i: (0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec(
+                (tt, H), lambda i: (i, 0), memory_space=pltpu.VMEM
+            ),
+            out_shape=jax.ShapeDtypeStruct((Tp, H), r.dtype),
+            interpret=interpret,
+            cost_estimate=cost,
+        )(*args)
+        return out[:T]
+
+    if F % f_chunks:
+        raise ValueError(f"f_chunks {f_chunks} must divide F {F}")
+    Fc = F // f_chunks
     out = pl.pallas_call(
-        functools.partial(_ffn_block_kernel, act=act, eps=eps),
-        grid=(Tp // tt,),
+        functools.partial(
+            _ffn_block_chunked_kernel, act=act, eps=eps, nc=f_chunks
+        ),
+        grid=(Tp // tt, f_chunks),
         in_specs=[
-            pl.BlockSpec((tt, H), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, H), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, H), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((H, F), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, F), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((F, H), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, H), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, H), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, H), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tt, H), lambda i, c: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, H), lambda i, c: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, H), lambda i, c: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((H, Fc), lambda i, c: (0, c),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Fc), lambda i, c: (0, c),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((Fc, H), lambda i, c: (c, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, H), lambda i, c: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, H), lambda i, c: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, H), lambda i, c: (0, 0),
+                         memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
-            (tt, H), lambda i: (i, 0), memory_space=pltpu.VMEM
+            (tt, H), lambda i, c: (i, 0), memory_space=pltpu.VMEM
         ),
         out_shape=jax.ShapeDtypeStruct((Tp, H), r.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((tt, H), r.dtype),
+            pltpu.VMEM((tt, H), jnp.float32),
+        ],
         interpret=interpret,
-        cost_estimate=pl.CostEstimate(
-            flops=4 * Tp * H * F,
-            bytes_accessed=2 * Tp * H * r.dtype.itemsize
-            + 2 * H * F * r.dtype.itemsize,
-            transcendentals=Tp * F,
-        ),
-    )(r, ln1_scale[None, :], ln1_bias[None, :], w1, b1[None, :], w2,
-      b2[None, :], ln2_scale[None, :], ln2_bias[None, :])
+        cost_estimate=cost,
+    )(*args)
     return out[:T]
 
 
@@ -220,15 +312,28 @@ def _xla_ffn_block(r, ln1_scale, ln1_bias, w1, b1, w2, b2, ln2_scale,
 def ffn_block(r, ln1_scale, ln1_bias, w1, b1, w2, b2, ln2_scale, ln2_bias,
               act: str, eps: float):
     """Dispatching half-layer (LN1 -> FFN -> +res -> LN2): pallas on TPU
-    when the FFN weights fit VMEM, XLA sequence elsewhere. Backward is the
+    (weights VMEM-resident when they fit, streamed in F-chunks otherwise —
+    bert-large), XLA sequence elsewhere. Backward is the
     recompute-through-XLA VJP (cf. ffn)."""
     w_bytes = (w1.size + w2.size) * w1.dtype.itemsize
-    if (_tpu_like_backend() and r.shape[0] % 8 == 0
-            and w_bytes <= 12 * 1024 * 1024):
-        return fused_ffn_block(
-            r, ln1_scale, ln1_bias, w1, b1, w2, b2, ln2_scale, ln2_bias,
-            act=act, eps=eps,
-        )
+    if _tpu_like_backend() and r.shape[0] % 8 == 0:
+        F = w1.shape[1]
+        if w_bytes <= 12 * 1024 * 1024:
+            chunks = 1  # VMEM-resident weights (bert-base: 9MB)
+        else:
+            # stream <=6MB weight-pair chunks (Mosaic double-buffers them)
+            chunks = 2
+            while (w_bytes // chunks > 6 * 1024 * 1024 and chunks < 8
+                   and F % (chunks * 2) == 0
+                   and (F // (chunks * 2)) % 128 == 0):
+                chunks *= 2
+            if F % chunks or (F // chunks) % 128:
+                chunks = 0  # shape doesn't chunk cleanly -> XLA path
+        if chunks:
+            return fused_ffn_block(
+                r, ln1_scale, ln1_bias, w1, b1, w2, b2, ln2_scale, ln2_bias,
+                act=act, eps=eps, f_chunks=chunks,
+            )
     return _xla_ffn_block(
         r, ln1_scale, ln1_bias, w1, b1, w2, b2, ln2_scale, ln2_bias, act, eps
     )
