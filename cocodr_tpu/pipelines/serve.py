@@ -4,9 +4,11 @@ The reference has no serving story (research pipelines only); production
 deployment is a first-class goal here. `RetrievalService` holds the corpus
 embeddings device-resident (bf16 HBM; ~1.5GB per million 768-d docs on one
 v5e) and answers text queries with one jitted encode + the pallas top-k
-(exact ~36k QPS or rescore-free fast mode ~45k QPS @1M docs; encode ~5k
-queries/s) — measured ~900 end-to-end queries/s at 1M docs, batch 64, on
-one chip. With a mesh the resident corpus shards across chips (cross-
+(exact ~38-41k QPS or rescore-free fast mode ~48-52k QPS @1M docs) —
+measured ~1,600 end-to-end queries/s at 1M docs, batch 64, on one chip:
+encode + search compile into ONE program per (bucket, top_k), so a query
+batch costs a single device dispatch (separate encode/search calls paid
+the dispatch round trip twice — 950 q/s). With a mesh the resident corpus shards across chips (cross-
 shard merge on ICI; ~70M bf16 768-d docs on a v5e-8), and the int8 mode
 doubles per-chip capacity again. CLI: `cocodr_tpu serve` (stdin REPL).
 """
@@ -63,6 +65,7 @@ class RetrievalService:
         self.doc_ids = doc_ids
         self.mesh = None
         self._sharded_search = None
+        self._programs = {}
         if mesh is not None:
             from cocodr_tpu.core.mesh import DATA_AXIS
 
@@ -91,6 +94,52 @@ class RetrievalService:
                 {"params": p}, ids, mask, method=model.query_emb
             )
         )
+
+    def _program(self, k: int):
+        """Fused tokenized-ids -> top-k program: encode + search in ONE
+        compiled call, so a query batch costs a single device dispatch
+        (the tunnel/dispatch round trip per call dominates small-batch
+        serving; separate encode and search calls paid it twice). One jit
+        specialization per top_k; query-count buckets specialize within
+        jit as usual."""
+        prog = self._programs.get(k)
+        if prog is not None:
+            return prog
+        cfg = self.cfg
+        model = self._model
+
+        from cocodr_tpu.ops.mips import (
+            _tpu_like_backend,
+            mips_topk,
+            mips_topk_blockmax,
+        )
+
+        def fn(p, ids, mask, corpus, dim_scale):
+            emb = model.apply(
+                {"params": p}, ids, mask, method=model.query_emb
+            )
+            if cfg.exact_fp32:
+                return mips_topk(emb, corpus, k, exact_fp32=True)
+            if _tpu_like_backend():
+                from cocodr_tpu.ops.pallas_mips import (
+                    mips_topk_fast,
+                    mips_topk_hierarchical,
+                    mips_topk_int8,
+                )
+
+                if dim_scale is not None:
+                    return mips_topk_int8(emb, corpus, dim_scale, k)
+                search = (mips_topk_fast if cfg.fast_search
+                          else mips_topk_hierarchical)
+                return search(emb, corpus, k)
+            if dim_scale is not None:  # dequantize off-TPU (tests)
+                corpus = (corpus.astype(jnp.float32)
+                          * dim_scale).astype(jnp.bfloat16)
+            return mips_topk_blockmax(emb, corpus, k)
+
+        prog = jax.jit(fn, static_argnames=())
+        self._programs[k] = prog
+        return prog
 
     def _init_sharded(self, model, params, corpus_emb, mesh):
         from jax import shard_map
@@ -173,46 +222,25 @@ class RetrievalService:
     def search(self, queries: List[str], top_k: Optional[int] = None
                ) -> Tuple[np.ndarray, list]:
         """-> (scores [Q, k], ids [Q, k] — external doc ids if provided)."""
-        from cocodr_tpu.ops.mips import (
-            _tpu_like_backend,
-            mips_topk,
-            mips_topk_blockmax,
-        )
-
         k = top_k or self.cfg.top_k
         nq = len(queries)
         pad = self._bucket(nq) - nq
         ids, mask = self._tokenize(queries + [""] * pad)
-        emb = self._encode(self.params, jnp.asarray(ids), jnp.asarray(mask))
 
         if self._sharded_search is not None:
             assert k <= self.cfg.top_k, "sharded program compiled for top_k"
+            emb = self._encode(
+                self.params, jnp.asarray(ids), jnp.asarray(mask)
+            )
             vals, idx = self._sharded_search(emb, self.corpus)
             vals, idx = vals[:, :k], idx[:, :k]
-        elif self.cfg.exact_fp32:
-            vals, idx = mips_topk(emb, self.corpus, k, exact_fp32=True)
-        elif _tpu_like_backend():
-            from cocodr_tpu.ops.pallas_mips import (
-                mips_topk_fast,
-                mips_topk_hierarchical,
-                mips_topk_int8,
-            )
-
-            if self.dim_scale is not None:
-                vals, idx = mips_topk_int8(
-                    emb, self.corpus, self.dim_scale, k)
-            else:
-                search = (mips_topk_fast if self.cfg.fast_search
-                          else mips_topk_hierarchical)
-                vals, idx = search(emb, self.corpus, k)
         else:
-            corpus = self.corpus
-            if self.dim_scale is not None:  # dequantize off-TPU (tests)
-                corpus = (corpus.astype(jnp.float32)
-                          * self.dim_scale).astype(jnp.bfloat16)
-            vals, idx = mips_topk_blockmax(emb, corpus, k)
-        vals = np.asarray(vals)[:nq]
-        idx = np.asarray(idx)[:nq]
+            vals, idx = self._program(k)(
+                self.params, jnp.asarray(ids), jnp.asarray(mask),
+                self.corpus, self.dim_scale,
+            )
+        vals, idx = jax.device_get((vals, idx))
+        vals, idx = vals[:nq], idx[:nq]
         if self.doc_ids is not None:
             ext = [[self.doc_ids[i] if i >= 0 else None for i in row]
                    for row in idx]
