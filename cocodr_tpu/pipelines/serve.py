@@ -186,12 +186,34 @@ class RetrievalService:
                 k_local=k + pad,
             )
 
+        sharded_search = shard_map(
+            search, mesh=mesh,
+            in_specs=(P(), P(DATA_AXIS)),
+            out_specs=(P(), P()),
+        )
+
+        # one program per query batch here too (cf. _program): replicated
+        # encode + sharded search under a single jit — GSPMD partitions
+        # both, and a serve call costs one dispatch across the mesh
+        def fused(p, ids, mask, c):
+            emb = model.apply(
+                {"params": p}, ids, mask, method=model.query_emb
+            )
+            return sharded_search(emb, c)
+
         self._sharded_search = jax.jit(
             shard_map(
                 search, mesh=mesh,
                 in_specs=(P(), P(DATA_AXIS)),
                 out_specs=(P(), P()),
             )
+        )
+        self._sharded_program = jax.jit(
+            fused,
+            in_shardings=(NamedSharding(mesh, P()),
+                          NamedSharding(mesh, P()),
+                          NamedSharding(mesh, P()),
+                          NamedSharding(mesh, P(DATA_AXIS))),
         )
 
     def _bucket(self, nq: int) -> int:
@@ -229,10 +251,10 @@ class RetrievalService:
 
         if self._sharded_search is not None:
             assert k <= self.cfg.top_k, "sharded program compiled for top_k"
-            emb = self._encode(
-                self.params, jnp.asarray(ids), jnp.asarray(mask)
+            vals, idx = self._sharded_program(
+                self.params, jnp.asarray(ids), jnp.asarray(mask),
+                self.corpus,
             )
-            vals, idx = self._sharded_search(emb, self.corpus)
             vals, idx = vals[:, :k], idx[:, :k]
         else:
             vals, idx = self._program(k)(
