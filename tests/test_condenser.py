@@ -5,6 +5,7 @@ import types
 import numpy as np
 import pytest
 
+import jax
 import jax.numpy as jnp
 
 from cocodr_tpu.models.bert import BertConfig
@@ -113,3 +114,38 @@ def test_mlm_cross_entropy_ignore_index():
         ignore_index=-100,
     )
     np.testing.assert_allclose(float(loss), float(ref), rtol=1e-6)
+
+
+def test_sparse_mlm_loss_equals_dense():
+    """mlm_budget_frac gather path == dense [T, vocab] path, values AND
+    gradients, while the budget covers every masked position."""
+    import dataclasses as dc
+
+    cfg = BertConfig.tiny()
+    rng = np.random.default_rng(9)
+    # T=256 with budget frac 0.25 -> gather budget 128: a REAL sparse path
+    # (masked count ~38 << 128 < T)
+    B2, S2 = 8, 32
+    ids2 = jnp.asarray(rng.integers(5, 120, (B2, S2)), jnp.int32)
+    mask2 = jnp.ones((B2, S2), jnp.int32)
+    labels2 = np.full((B2, S2), -100, np.int32)
+    mpos2 = rng.random((B2, S2)) < 0.15
+    labels2[mpos2] = rng.integers(5, 120, mpos2.sum())
+    labels2 = jnp.asarray(labels2)
+
+    dense = CondenserForPretraining(cfg, n_head_layers=1, skip_from=1,
+                                    late_mlm=True, mlm_budget_frac=1.0)
+    sparse = dc.replace(dense, mlm_budget_frac=0.25)
+    p = dense.init(jax.random.PRNGKey(0), ids2[:1], mask2[:1],
+                   labels2[:1])["params"]
+
+    def loss(m, p):
+        out, _ = m.apply({"params": p}, ids2, mask2, labels2)
+        return out
+
+    ld, gd = jax.value_and_grad(lambda p: loss(dense, p))(p)
+    ls, gs = jax.value_and_grad(lambda p: loss(sparse, p))(p)
+    assert np.asarray(ld) == pytest.approx(np.asarray(ls), rel=1e-6)
+    for a, b in zip(jax.tree.leaves(gd), jax.tree.leaves(gs)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-7)
