@@ -143,3 +143,34 @@ def test_retrieval_service_sharded_matches_single(tmp_path):
     v2, i2 = sharded.search(["alpha beta", "gamma"])
     np.testing.assert_allclose(np.asarray(v1), np.asarray(v2), rtol=1e-5)
     assert [list(r) for r in i1] == [list(r) for r in i2]
+
+
+def test_search_stream_matches_search(tmp_path):
+    """Pipelined bulk serving returns exactly what per-batch search does."""
+    vocab = ["[PAD]", "[UNK]", "[CLS]", "[SEP]", "[MASK]"] + [
+        f"w{i}" for i in range(50)
+    ]
+    (tmp_path / "vocab.txt").write_text("\n".join(vocab))
+    tok = transformers.BertTokenizerFast(
+        vocab_file=str(tmp_path / "vocab.txt")
+    )
+    cfg = BertConfig.tiny()
+    model = build_dual_encoder("rdot_nll_condenser", cfg)
+    ids = jnp.ones((1, 8), jnp.int32)
+    params = model.init(jax.random.PRNGKey(0), ids, ids)["params"]
+    corpus = np.random.default_rng(0).standard_normal(
+        (256, cfg.hidden_size)
+    ).astype(np.float32)
+    svc = RetrievalService(
+        model, params, tok, corpus,
+        doc_ids=[f"d{i}" for i in range(256)],
+        cfg=ServeConfig(top_k=5, max_batch=8, max_query_len=16),
+    )
+    batches = [[f"w{i} w{(i*3) % 50}" for i in range(j, j + 4)]
+               for j in range(0, 12, 4)]
+    seq = [svc.search(b) for b in batches]
+    piped = list(svc.search_stream(batches, depth=2))
+    assert len(seq) == len(piped)
+    for (v1, i1), (v2, i2) in zip(seq, piped):
+        np.testing.assert_allclose(v1, v2, rtol=1e-5)
+        assert i1 == i2
