@@ -118,12 +118,13 @@ class DualEncoder(nn.Module):
                 self.doc_head = ProjectionHead(self.cfg.bert, self.cfg.head_dim)
 
     def _emb(self, encoder, head, input_ids, attention_mask, token_type_ids,
-             deterministic):
-        last, _, pooled = encoder(
+             deterministic, capture_layer=None):
+        last, hidden, pooled = encoder(
             input_ids,
             attention_mask,
             token_type_ids,
             deterministic=deterministic,
+            output_hidden_states=capture_layer is not None,
         )
         if self.cfg.pooling == "pooler":
             e = pooled
@@ -131,18 +132,23 @@ class DualEncoder(nn.Module):
             e = pool(last, attention_mask, self.cfg.pooling)
         if head is not None:
             e = head(e)
+        if capture_layer is not None:
+            # hidden[i] = output of layer i (hidden[0] = embeddings), so
+            # hidden[capture_layer] is the INPUT to layer capture_layer+1 —
+            # the restart point for a top-of-stack re-run (idro group pass)
+            return e, hidden[capture_layer]
         return e
 
     def query_emb(self, input_ids, attention_mask, token_type_ids=None,
-                  deterministic: bool = True):
+                  deterministic: bool = True, capture_layer=None):
         head = self.head if self.cfg.use_head else None
         return self._emb(
             self.encoder, head, input_ids, attention_mask, token_type_ids,
-            deterministic,
+            deterministic, capture_layer,
         )
 
     def body_emb(self, input_ids, attention_mask, token_type_ids=None,
-                 deterministic: bool = True):
+                 deterministic: bool = True, capture_layer=None):
         if self.cfg.two_tower:
             head = self.doc_head if self.cfg.use_head else None
             encoder = self.doc_encoder
@@ -150,12 +156,13 @@ class DualEncoder(nn.Module):
             head = self.head if self.cfg.use_head else None
             encoder = self.encoder
         if self.cfg.chunk_len and input_ids.shape[1] > self.cfg.chunk_len:
+            assert capture_layer is None, "capture_layer: single-chunk only"
             return self._multi_chunk_emb(
                 encoder, head, input_ids, attention_mask, deterministic
             )
         return self._emb(
             encoder, head, input_ids, attention_mask, token_type_ids,
-            deterministic,
+            deterministic, capture_layer,
         )
 
     def _multi_chunk_emb(self, encoder, head, input_ids, attention_mask,

@@ -52,6 +52,11 @@ class TrainStepConfig:
     dro: Optional[DroConfig] = None
     max_grad_norm: float = 1.0  # 0 disables clipping
     idro_last_k_layers: int = 3  # base: last 3; large: last 2 (dro_loss.py:179-183)
+    # Force the full-depth per-group pullback instead of the top-K re-run
+    # (debug / numerics escape hatch; ~2.5x slower at G=10 — see
+    # scripts/idro_cost_probe.py). Equivalence is tested in
+    # tests/test_train_step.py::test_idro_fast_group_pass_matches_full_depth.
+    idro_full_depth_group_pass: bool = False
 
 
 def _embed_triplet(model, params, batch, dropout_rng=None):
@@ -212,33 +217,150 @@ def build_train_step(
         assert cfg.dro is not None
         G = cfg.dro.n_groups
         K = cfg.idro_last_k_layers
+        decfg = getattr(model, "cfg", None)
+        bcfg = getattr(decfg, "bert", None)
+        # Fast group pass: the per-group grads only cover the last-K encoder
+        # layers (reference dro_loss.py:179-183), but the layer stack is one
+        # nn.scan — XLA cannot dead-code-eliminate the below-last-K backward
+        # out of a scan, so pulling each group's cotangent through the FULL
+        # pullback pays a 12-layer backward per group (measured: 72 ms/group
+        # at B=64 bert-base, 918 ms/step at G=10 — scripts/idro_cost_probe.py).
+        # Instead: capture each tower's layer-(L-K) activations in the main
+        # forward, re-run ONLY the top K layers + pooling + head as a
+        # separate K-length scan, and vjp that. Each group lane then pays a
+        # K-layer backward.
+        fast_group_pass = (
+            bcfg is not None
+            and not cfg.idro_full_depth_group_pass
+            and not decfg.two_tower
+            and not decfg.chunk_len
+            and decfg.pooling in ("cls", "mean")
+            and 0 < K < bcfg.num_hidden_layers
+        )
+        if not fast_group_pass:
+
+            def step(state: TrainState, batch, dropout_rng=None):
+                # Fallback (two-tower / chunked / pooler configs): one
+                # linearization shared by the per-group pass and the
+                # training gradient, full-depth pullback per group.
+                def per_sample(p):
+                    q, a, b = _embed_triplet(model, p, batch, dropout_rng)
+                    losses, acc, _ = triplet_nll(q, a, b)
+                    return losses, jnp.mean(acc)
+
+                (losses, acc), pullback = jax.vjp(per_sample, state.params)
+
+                def pull_lastk(ct):
+                    (g,) = pullback((ct, jnp.zeros_like(acc)))
+                    enc = g["encoder"]["encoder"]["layers"]["layer"]
+                    return (
+                        jax.tree_util.tree_map(lambda x: x[-K:], enc),
+                    )
+
+                gg = per_group_grads(pull_lastk, batch["groups"], G)
+
+                robust, dstate, (gl, gc) = idro_loss(
+                    losses, batch["groups"], state.extra, cfg.dro, gg
+                )
+                h_pre = state.extra.h_fun
+                counts = jnp.maximum(gc, 1.0)
+                ct = jax.lax.stop_gradient(
+                    h_pre[batch["groups"]] / counts[batch["groups"]]
+                )
+                (grads,) = pullback((ct, jnp.zeros_like(acc)))
+                state = apply_updates(state, grads, dstate)
+                return state, {
+                    "loss": robust,
+                    "acc": acc,
+                    "group_losses": gl,
+                    "group_counts": gc,
+                }
+
+            return jax.jit(step)
+
+        from cocodr_tpu.models.bert import BertEncoder, make_attention_bias
+        from cocodr_tpu.models.dual_encoder import ProjectionHead, pool
+
+        L = bcfg.num_hidden_layers
+        # remat off: K layers of activations at B=64 fit easily, and lanes
+        # then share one stored forward instead of re-running it
+        top_cfg = dataclasses.replace(bcfg, num_hidden_layers=K, remat=False)
+        top_stack = BertEncoder(top_cfg)
+        proj = (
+            ProjectionHead(bcfg, decfg.head_dim) if decfg.use_head else None
+        )
 
         def step(state: TrainState, batch, dropout_rng=None):
-            # ONE forward + ONE linearization shared by the per-group pass
-            # and the training gradient. The reference builds a single torch
-            # graph and reuses it for both (dro_loss.py:174-204); an earlier
-            # version here embedded the batch twice (6 encoder forwards).
+            det = dropout_rng is None
+
             def per_sample(p):
-                q, a, b = _embed_triplet(model, p, batch, dropout_rng)
+                def apply(ids, mask, method, tower):
+                    rngs = (
+                        None if det
+                        else {"dropout": jax.random.fold_in(dropout_rng, tower)}
+                    )
+                    return model.apply(
+                        {"params": p}, ids, mask, deterministic=det,
+                        method=method, rngs=rngs, capture_layer=L - K,
+                    )
+
+                q, hq = apply(batch["q_ids"], batch["q_mask"],
+                              model.query_emb, 0)
+                a, ha = apply(batch["pos_ids"], batch["pos_mask"],
+                              model.body_emb, 1)
+                b, hb = apply(batch["neg_ids"], batch["neg_mask"],
+                              model.body_emb, 2)
                 losses, acc, _ = triplet_nll(q, a, b)
-                return losses, jnp.mean(acc)
+                return losses, (jnp.mean(acc), (hq, ha, hb))
 
-            (losses, acc), pullback = jax.vjp(per_sample, state.params)
+            losses, pullback, (acc, hmids) = jax.vjp(
+                per_sample, state.params, has_aux=True
+            )
 
-            def pull_lastk(ct):
-                # per-group grads restricted to the last-k encoder layers
-                # (dro_loss.py:179-183): slice the full-params cotangent —
-                # inside one jit, DCE prunes the unused below-last-k work
-                (g,) = pullback((ct, jnp.zeros_like(acc)))
-                enc = g["encoder"]["encoder"]["layers"]["layer"]
-                return (jax.tree_util.tree_map(lambda x: x[-K:], enc),)
+            enc = state.params["encoder"]["encoder"]["layers"]["layer"]
+            lastk = jax.lax.stop_gradient(
+                jax.tree_util.tree_map(lambda x: x[-K:], enc)
+            )
+            head_p = (
+                jax.lax.stop_gradient(state.params["head"])
+                if proj is not None else None
+            )
 
-            gg = per_group_grads(pull_lastk, batch["groups"], G)
+            def top_emb(p_lastk, h_mid, mask, tower):
+                # NOTE: when dropout is on, the top re-run draws fresh masks
+                # (a K-length scan splits keys differently from the last K
+                # slots of the L-length scan). Group grads are a stochastic
+                # estimate either way; the h_fun update they feed is an EMA.
+                rngs = (
+                    None if det
+                    else {"dropout": jax.random.fold_in(
+                        jax.random.fold_in(dropout_rng, tower), 7
+                    )}
+                )
+                last, _ = top_stack.apply(
+                    {"params": {"layers": {"layer": p_lastk}}},
+                    h_mid, make_attention_bias(mask),
+                    deterministic=det, rngs=rngs,
+                )
+                e = pool(last, mask, decfg.pooling)
+                if proj is not None:
+                    e = proj.apply({"params": head_p}, e)
+                return e
+
+            def top_losses(p_lastk):
+                q = top_emb(p_lastk, hmids[0], batch["q_mask"], 0)
+                a = top_emb(p_lastk, hmids[1], batch["pos_mask"], 1)
+                b = top_emb(p_lastk, hmids[2], batch["neg_mask"], 2)
+                l, _, _ = triplet_nll(q, a, b)
+                return l
+
+            _, pull_top = jax.vjp(top_losses, lastk)
+            gg = per_group_grads(pull_top, batch["groups"], G)
 
             robust, dstate, (gl, gc) = idro_loss(
                 losses, batch["groups"], state.extra, cfg.dro, gg
             )
-            # training gradient via the same pullback: d(robust)/d(loss_i)
+            # training gradient via the shared pullback: d(robust)/d(loss_i)
             # = h_pre[g_i] / count_{g_i} (pre-update h_fun — the buffer
             # semantics of the torch module; verified against autodiff in
             # tests/test_dro.py::test_idro_robust_loss_gradient_flows)
@@ -247,7 +369,7 @@ def build_train_step(
             ct = jax.lax.stop_gradient(
                 h_pre[batch["groups"]] / counts[batch["groups"]]
             )
-            (grads,) = pullback((ct, jnp.zeros_like(acc)))
+            (grads,) = pullback(ct)
             state = apply_updates(state, grads, dstate)
             return state, {
                 "loss": robust,

@@ -163,3 +163,56 @@ def test_nll_multichunk_trains_end_to_end():
     np.testing.assert_allclose(
         float(m1["loss"]), float(m2["loss"]), rtol=1e-6
     )
+
+
+@pytest.mark.quick
+def test_idro_fast_group_pass_matches_full_depth():
+    """The top-K re-run group pass (capture layer L-K, K-layer scan) must
+    reproduce the full-depth per-group pullback exactly in deterministic
+    mode: same robust loss, same h_fun update, same updated params."""
+    dro = DroConfig(n_groups=4)
+    bert = BertConfig.tiny()
+    model = build_dual_encoder("rdot_nll", bert)
+    B, S = 8, 12
+    rng = np.random.RandomState(1)
+    ids = rng.randint(1, 100, size=(B, S)).astype(np.int32)
+    batch = {
+        "q_ids": jnp.asarray(ids),
+        "q_mask": jnp.ones((B, S), jnp.int32),
+        "pos_ids": jnp.asarray(np.roll(ids, 1, 1)),
+        "pos_mask": jnp.ones((B, S), jnp.int32),
+        "neg_ids": jnp.asarray(ids[::-1].copy()),
+        "neg_mask": jnp.ones((B, S), jnp.int32),
+        "groups": jnp.asarray(rng.randint(0, 4, B)),
+    }
+    params = model.init(
+        jax.random.PRNGKey(0), batch["q_ids"][:1], batch["q_mask"][:1]
+    )["params"]
+    tx = lamb(warmup_linear(5e-4, 2, 100))
+
+    results = []
+    for full_depth in (False, True):
+        state = TrainState.create(params, tx, extra=idro_init(dro))
+        step = build_train_step(
+            model, tx,
+            TrainStepConfig(
+                loss_kind="idro", dro=dro, idro_last_k_layers=1,
+                idro_full_depth_group_pass=full_depth,
+            ),
+        )
+        state, m = step(state, batch)
+        results.append((state, m))
+    (fast_s, fast_m), (full_s, full_m) = results
+    np.testing.assert_allclose(
+        float(fast_m["loss"]), float(full_m["loss"]), rtol=1e-6
+    )
+    np.testing.assert_allclose(
+        np.asarray(fast_s.extra.h_fun), np.asarray(full_s.extra.h_fun),
+        rtol=1e-5,
+    )
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=2e-4, atol=1e-6
+        ),
+        fast_s.params, full_s.params,
+    )
