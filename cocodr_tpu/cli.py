@@ -382,6 +382,43 @@ def cmd_serve(args):
         ),
         mesh=_build_mesh(args),
     )
+    if args.queries:
+        # Bulk mode: qid\ttext TSV in, TREC run file out, through the
+        # pipelined search_stream (batches stay in flight, grouped
+        # readbacks — ~3.9x the blocking-call throughput on one chip).
+        import time as _time
+
+        qids, texts = [], []
+        with open(args.queries) as f:
+            for ln in f:
+                parts = ln.rstrip("\n").split("\t")
+                if len(parts) >= 2:
+                    qids.append(parts[0])
+                    texts.append(parts[1])
+        bs = service.cfg.max_batch
+        batches = [texts[i:i + bs] for i in range(0, len(texts), bs)]
+        out = open(args.output, "w") if args.output else _sys.stdout
+        t0 = _time.time()
+        qi = 0
+        for vals, ids in service.search_stream(
+            batches, depth=args.stream_depth
+        ):
+            for r in range(len(ids)):
+                for rank, (d, v) in enumerate(zip(ids[r], vals[r]), 1):
+                    out.write(
+                        f"{qids[qi]} Q0 {d} {rank} {float(v):.6f} "
+                        f"cocodr_tpu\n"
+                    )
+                qi += 1
+        dt = _time.time() - t0
+        if args.output:
+            out.close()
+        print(json.dumps({
+            "queries": len(texts),
+            "seconds": round(dt, 3),
+            "qps": round(len(texts) / max(dt, 1e-9), 1),
+        }), file=_sys.stderr, flush=True)
+        return
     print(json.dumps({"ready": True, "n_docs": int(corpus_emb.shape[0])}),
           flush=True)
     for line in _sys.stdin:
@@ -1039,6 +1076,13 @@ def main(argv=None):
     sp.add_argument("--fast", action="store_true")
     sp.add_argument("--int8", action="store_true")
     sp.add_argument("--exact-fp32", action="store_true")
+    sp.add_argument("--queries", default=None,
+                    help="qid\\ttext TSV: bulk mode -> TREC run via the "
+                         "pipelined search_stream (no REPL)")
+    sp.add_argument("--output", default=None,
+                    help="bulk mode: TREC run file (default stdout)")
+    sp.add_argument("--stream-depth", type=int, default=8,
+                    help="bulk mode: query batches kept in flight")
     sp.set_defaults(fn=cmd_serve)
 
     sp = sub.add_parser("preprocess-msmarco")

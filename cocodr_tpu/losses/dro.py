@@ -166,8 +166,9 @@ def idro_loss(
     groups: jnp.ndarray,
     state: DroState,
     cfg: DroConfig,
-    group_grads: jnp.ndarray,
+    group_grads: Optional[jnp.ndarray] = None,
     axis_name: Optional[str] = None,
+    group_gram: Optional[jnp.ndarray] = None,
 ):
     """iDRO robust loss + multiplicative-exponentiated weight update
     (reference dro_loss.py:216-254).
@@ -184,28 +185,50 @@ def idro_loss(
     group losses/counts (only grads are all_reduced, dro_loss.py:232), so
     per-GPU h_fun buffers silently diverge. Under SPMD the state is
     replicated, so we psum losses/counts too — one coherent global update.
+
+    Alternative input `group_gram` [G, G]: the raw Gram matrix
+    group_grads @ group_grads.T. The update only ever consumes the grads
+    through their norms (diagonal) and normalized inner products, so
+    callers that can form the Gram without materializing [G, P] grads
+    (see train_step's per-sample-Gram group pass) skip the G backward
+    passes entirely. Not valid with axis_name: the Gram of a sum of
+    per-rank grads has cross-rank terms a psum of per-rank Grams lacks.
     """
+    assert (group_grads is None) != (group_gram is None), (
+        "pass exactly one of group_grads / group_gram"
+    )
     counts = _segment_sum(
         jnp.ones_like(losses), groups, cfg.n_groups
     )  # [G]
     gl = _segment_sum(losses, groups, cfg.n_groups) / jnp.maximum(counts, 1.0)
     robust_loss = jnp.sum(gl * jax.lax.stop_gradient(state.h_fun))
 
-    grads = group_grads
-    if axis_name is not None:
-        grads = jax.lax.psum(grads, axis_name)
-        counts_agg = jax.lax.psum(counts, axis_name)
-        gl_agg = jax.lax.psum(
-            jax.lax.stop_gradient(gl) * counts, axis_name
-        ) / jnp.maximum(counts_agg, 1.0)
-    else:
+    if group_gram is not None:
+        assert axis_name is None, (
+            "group_gram is single-replica / global-batch only"
+        )
         counts_agg = counts
         gl_agg = jax.lax.stop_gradient(gl)
-    grads = jax.lax.stop_gradient(grads)
+        m = jax.lax.stop_gradient(group_gram).astype(jnp.float32)
+        gnorm = jnp.sqrt(jnp.maximum(jnp.diagonal(m), 0.0))
+        denom = (1e-12 + gnorm)[:, None] * (1e-12 + gnorm)[None, :]
+        rtg = m / denom
+    else:
+        grads = group_grads
+        if axis_name is not None:
+            grads = jax.lax.psum(grads, axis_name)
+            counts_agg = jax.lax.psum(counts, axis_name)
+            gl_agg = jax.lax.psum(
+                jax.lax.stop_gradient(gl) * counts, axis_name
+            ) / jnp.maximum(counts_agg, 1.0)
+        else:
+            counts_agg = counts
+            gl_agg = jax.lax.stop_gradient(gl)
+        grads = jax.lax.stop_gradient(grads)
 
-    gnorm = jnp.linalg.norm(grads, axis=-1, keepdims=True)
-    grads = grads / (1e-12 + gnorm)
-    rtg = jnp.matmul(grads, grads.T, preferred_element_type=jnp.float32)
+        gnorm = jnp.linalg.norm(grads, axis=-1, keepdims=True)
+        grads = grads / (1e-12 + gnorm)
+        rtg = jnp.matmul(grads, grads.T, preferred_element_type=jnp.float32)
     glp = jnp.power(gl_agg, cfg.alpha)[:, None]
     rtg = (glp @ glp.T) * rtg
     mask = (counts_agg > 0).astype(jnp.float32)

@@ -283,8 +283,14 @@ def build_train_step(
 
         L = bcfg.num_hidden_layers
         # remat off: K layers of activations at B=64 fit easily, and lanes
-        # then share one stored forward instead of re-running it
-        top_cfg = dataclasses.replace(bcfg, num_hidden_layers=K, remat=False)
+        # then share one stored forward instead of re-running it.
+        # ffn_impl dense: the group pass vmaps the stack over BROADCAST
+        # (per-sample) weights, and the pallas FFN kernels don't lower
+        # under a batched-weight vmap (remote compile crashes); the K-layer
+        # re-run is small, plain XLA dense ops are fine.
+        top_cfg = dataclasses.replace(
+            bcfg, num_hidden_layers=K, remat=False, ffn_impl="dense"
+        )
         top_stack = BertEncoder(top_cfg)
         proj = (
             ProjectionHead(bcfg, decfg.head_dim) if decfg.use_head else None
@@ -326,39 +332,72 @@ def build_train_step(
                 if proj is not None else None
             )
 
-            def top_emb(p_lastk, h_mid, mask, tower):
-                # NOTE: when dropout is on, the top re-run draws fresh masks
-                # (a K-length scan splits keys differently from the last K
-                # slots of the L-length scan). Group grads are a stochastic
+            # The h_fun update consumes the per-group grads ONLY through
+            # their Gram matrix (norms + normalized inner products — see
+            # idro_loss). With per-sample losses, group grads are linear in
+            # per-sample grads: M = Cᵀ (J Jᵀ) C with C the group-cotangent
+            # matrix. So instead of G backward passes: vmap the top-K
+            # re-run per sample over BROADCAST weights — one backward then
+            # yields per-sample weight grads [B, ...] — and contract. Cost
+            # is one K-layer fwd+bwd, independent of G (the reference runs
+            # n_groups=50, where the G-backwards path is ~9x this).
+            B = losses.shape[0]
+            h3 = jnp.stack(hmids, axis=1)  # [B, 3towers, S, H]
+            m3 = jnp.stack(
+                [batch["q_mask"], batch["pos_mask"], batch["neg_mask"]],
+                axis=1,
+            )  # [B, 3, S]
+            keys = (
+                jnp.zeros((B, 2), jnp.uint32) if det
+                else jax.random.split(jax.random.fold_in(dropout_rng, 7), B)
+            )
+
+            def one_sample_loss(p_lastk, h, m, key):
+                # NOTE: when dropout is on, the top re-run draws fresh
+                # masks (per-sample keys here vs the L-length scan's split
+                # in the main forward). Group grads are a stochastic
                 # estimate either way; the h_fun update they feed is an EMA.
-                rngs = (
-                    None if det
-                    else {"dropout": jax.random.fold_in(
-                        jax.random.fold_in(dropout_rng, tower), 7
-                    )}
-                )
+                rngs = None if det else {"dropout": key}
                 last, _ = top_stack.apply(
                     {"params": {"layers": {"layer": p_lastk}}},
-                    h_mid, make_attention_bias(mask),
+                    h, make_attention_bias(m),
                     deterministic=det, rngs=rngs,
                 )
-                e = pool(last, mask, decfg.pooling)
+                e = pool(last, m, decfg.pooling)  # [3, D]
                 if proj is not None:
                     e = proj.apply({"params": head_p}, e)
-                return e
+                l, _, _ = triplet_nll(e[0:1], e[1:2], e[2:3])
+                return l[0]
 
-            def top_losses(p_lastk):
-                q = top_emb(p_lastk, hmids[0], batch["q_mask"], 0)
-                a = top_emb(p_lastk, hmids[1], batch["pos_mask"], 1)
-                b = top_emb(p_lastk, hmids[2], batch["neg_mask"], 2)
-                l, _, _ = triplet_nll(q, a, b)
-                return l
-
-            _, pull_top = jax.vjp(top_losses, lastk)
-            gg = per_group_grads(pull_top, batch["groups"], G)
+            pb = jax.tree_util.tree_map(
+                lambda x: jnp.broadcast_to(x, (B,) + x.shape), lastk
+            )
+            _, pull_ps = jax.vjp(
+                jax.vmap(one_sample_loss), pb, h3, m3, keys
+            )
+            per_sample_g = pull_ps(jnp.ones((B,), jnp.float32))[0]
+            gram_s = sum(
+                (lambda v: v @ v.T)(
+                    leaf.reshape(B, -1).astype(jnp.float32)
+                )
+                for leaf in jax.tree_util.tree_leaves(per_sample_g)
+            )  # [B, B] per-sample gradient Gram
+            counts_b = jnp.maximum(
+                jax.ops.segment_sum(
+                    jnp.ones((B,), jnp.float32), batch["groups"],
+                    num_segments=G,
+                ),
+                1.0,
+            )
+            cmat = (
+                jax.nn.one_hot(batch["groups"], G, dtype=jnp.float32)
+                / counts_b[None, :]
+            )  # [B, G], identical cotangents to per_group_grads
+            gram_g = cmat.T @ gram_s @ cmat  # [G, G]
 
             robust, dstate, (gl, gc) = idro_loss(
-                losses, batch["groups"], state.extra, cfg.dro, gg
+                losses, batch["groups"], state.extra, cfg.dro,
+                group_gram=gram_g,
             )
             # training gradient via the shared pullback: d(robust)/d(loss_i)
             # = h_pre[g_i] / count_{g_i} (pre-update h_fun — the buffer

@@ -64,10 +64,11 @@ def bench(tag, step, state, b, batch, iters=10):
 
 if __name__ == "__main__":
     for tag, kw in [
-        ("idro G=10 K=3 fast (top-K re-run)", dict(loss_kind="idro")),
-        ("idro G=10 K=3 full-depth (old)",
-         dict(loss_kind="idro", full_depth=True)),
-        ("idro G=10 K=2 fast", dict(loss_kind="idro", last_k=2)),
+        ("idro G=10 K=3 gram", dict(loss_kind="idro")),
+        ("idro G=50 K=3 gram (ref n_groups)",
+         dict(loss_kind="idro", n_groups=50)),
+        ("idro G=50 K=3 full-depth (old)",
+         dict(loss_kind="idro", n_groups=50, full_depth=True)),
     ]:
         try:
             bench(tag, *make(**kw))

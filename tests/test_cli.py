@@ -529,3 +529,56 @@ def test_cli_serve_from_records_fast_mode(hf_checkpoint, tmp_path, capsys,
     assert lines[0]["ready"] and lines[0]["n_docs"] == 8
     assert len(lines[1]["hits"]) == 5
     assert all(np.isfinite(h["score"]) for h in lines[1]["hits"])
+
+
+@pytest.mark.slow
+def test_cli_serve_bulk_trec_run(hf_checkpoint, tmp_path, capsys):
+    """serve --queries: bulk TSV -> TREC run through search_stream."""
+    data_dir = _write_beir(tmp_path)
+    main([
+        "preprocess-beir",
+        "--data-dir", data_dir,
+        "--out", str(tmp_path / "rec"),
+        "--tokenizer", hf_checkpoint,
+        "--task", "smoke",
+        "--query-len", "8",
+        "--doc-len", "12",
+    ])
+    emb_path = str(tmp_path / "corpus.npy")
+    main([
+        "encode",
+        "--checkpoint", hf_checkpoint,
+        "--records", str(tmp_path / "rec" / "passages"),
+        "--out", emb_path,
+        "--batch-size", "4",
+        "--compile-cache", "",
+    ])
+    capsys.readouterr()
+    queries = tmp_path / "queries.tsv"
+    queries.write_text(
+        "q1\talpha filler\nq2\tbeta words\nq3\tgamma text\n"
+    )
+    run_path = tmp_path / "run.trec"
+    main([
+        "serve",
+        "--checkpoint", hf_checkpoint,
+        "--emb", emb_path,
+        "--id-map", str(tmp_path / "rec" / "passages.docid2offset.pickle"),
+        "--top-k", "3",
+        "--queries", str(queries),
+        "--output", str(run_path),
+        "--stream-depth", "2",
+        "--compile-cache", "",
+    ])
+    lines = run_path.read_text().splitlines()
+    assert len(lines) == 9  # 3 queries x top-3
+    by_q = {}
+    for ln in lines:
+        qid, q0, did, rank, score, tag = ln.split()
+        assert q0 == "Q0" and tag == "cocodr_tpu" and did.startswith("d")
+        by_q.setdefault(qid, []).append((int(rank), float(score)))
+    assert set(by_q) == {"q1", "q2", "q3"}
+    for ranks in by_q.values():
+        assert [r for r, _ in ranks] == [1, 2, 3]
+        scores = [s for _, s in ranks]
+        assert scores == sorted(scores, reverse=True)
