@@ -382,6 +382,26 @@ def cmd_serve(args):
         ),
         mesh=_build_mesh(args),
     )
+    if args.http:
+        from cocodr_tpu.pipelines.http_serve import make_server
+
+        host, _, port = args.http.rpartition(":")
+        server, _ = make_server(
+            service, host=host or "127.0.0.1", port=int(port),
+            window_s=args.batch_window_ms / 1000.0,
+        )
+        print(json.dumps({
+            "ready": True, "http": args.http,
+            "n_docs": int(corpus_emb.shape[0]),
+        }), flush=True)
+        try:
+            server.serve_forever()
+        except KeyboardInterrupt:
+            pass
+        finally:
+            server.batcher.stop()
+            server.server_close()
+        return
     if args.queries:
         # Bulk mode: qid\ttext TSV in, TREC run file out, through the
         # pipelined search_stream (batches stay in flight, grouped
@@ -1083,6 +1103,11 @@ def main(argv=None):
                     help="bulk mode: TREC run file (default stdout)")
     sp.add_argument("--stream-depth", type=int, default=8,
                     help="bulk mode: query batches kept in flight")
+    sp.add_argument("--http", default=None, metavar="[HOST:]PORT",
+                    help="serve over HTTP with dynamic batching "
+                         "(GET /healthz, POST /search)")
+    sp.add_argument("--batch-window-ms", type=float, default=2.0,
+                    help="http mode: request-coalescing window")
     sp.set_defaults(fn=cmd_serve)
 
     sp = sub.add_parser("preprocess-msmarco")

@@ -1,4 +1,6 @@
 """Serving path: text in, ranked external doc ids out."""
+import json
+
 import numpy as np
 import pytest
 
@@ -174,3 +176,91 @@ def test_search_stream_matches_search(tmp_path):
     for (v1, i1), (v2, i2) in zip(seq, piped):
         np.testing.assert_allclose(v1, v2, rtol=1e-5)
         assert i1 == i2
+
+
+def test_http_server_dynamic_batching(tmp_path):
+    """HTTP endpoint: concurrent requests coalesce into fewer device
+    dispatches and return exactly what direct search returns."""
+    import http.client
+    import threading
+
+    vocab = ["[PAD]", "[UNK]", "[CLS]", "[SEP]", "[MASK]"] + [
+        f"w{i}" for i in range(50)
+    ]
+    (tmp_path / "vocab.txt").write_text("\n".join(vocab))
+    tok = transformers.BertTokenizerFast(
+        vocab_file=str(tmp_path / "vocab.txt")
+    )
+    cfg = BertConfig.tiny()
+    model = build_dual_encoder("rdot_nll_condenser", cfg)
+    ids = jnp.ones((1, 8), jnp.int32)
+    params = model.init(jax.random.PRNGKey(0), ids, ids)["params"]
+    corpus = np.random.default_rng(0).standard_normal(
+        (128, cfg.hidden_size)
+    ).astype(np.float32)
+    from cocodr_tpu.pipelines.http_serve import make_server
+    from cocodr_tpu.pipelines.serve import RetrievalService, ServeConfig
+
+    svc = RetrievalService(
+        model, params, tok, corpus,
+        doc_ids=[f"d{i}" for i in range(128)],
+        cfg=ServeConfig(top_k=5, max_batch=8, max_query_len=16),
+    )
+    queries = [f"w{i} w{(i * 3) % 50}" for i in range(12)]
+    ref_vals, ref_ids = svc.search(queries)  # also pre-compiles
+
+    server, batcher = make_server(svc, port=0, window_s=0.05)
+    port = server.server_address[1]
+    st = threading.Thread(target=server.serve_forever, daemon=True)
+    st.start()
+    try:
+        conn = http.client.HTTPConnection("127.0.0.1", port, timeout=30)
+        conn.request("GET", "/healthz")
+        health = json.loads(conn.getresponse().read())
+        assert health["ok"] and health["n_docs"] == 128
+
+        results = [None] * len(queries)
+
+        def fire(i):
+            c = http.client.HTTPConnection("127.0.0.1", port, timeout=60)
+            c.request(
+                "POST", "/search",
+                body=json.dumps({"query": queries[i], "k": 5}),
+                headers={"Content-Type": "application/json"},
+            )
+            results[i] = json.loads(c.getresponse().read())
+            c.close()
+
+        threads = [
+            threading.Thread(target=fire, args=(i,))
+            for i in range(len(queries))
+        ]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=120)
+        for i, res in enumerate(results):
+            got = res["hits"]
+            assert [h["id"] for h in got] == list(ref_ids[i])
+            np.testing.assert_allclose(
+                [h["score"] for h in got], np.asarray(ref_vals[i]),
+                rtol=1e-5,
+            )
+        # coalescing happened: 12 requests, max_batch 8, 50ms window ->
+        # strictly fewer dispatches than requests
+        assert batcher.batches < batcher.requests == 12
+
+        # multi-query form
+        conn.request(
+            "POST", "/search",
+            body=json.dumps({"queries": queries[:3], "k": 2}),
+            headers={"Content-Type": "application/json"},
+        )
+        multi = json.loads(conn.getresponse().read())["hits"]
+        assert len(multi) == 3 and all(len(h) == 2 for h in multi)
+        assert [h["id"] for h in multi[0]] == list(ref_ids[0][:2])
+        conn.close()
+    finally:
+        server.shutdown()
+        batcher.stop()
+        server.server_close()
