@@ -92,12 +92,15 @@ def bench_mips(n_docs=1_048_576, dim=768, n_queries=1024, k=100, iters=10,
     return n_queries / best
 
 
-def bench_train_step(batch=64, seq=128, iters=10, loss_kind="nll"):
-    """Warmup-style triplet train step (3 encoder fwd + bwd + LAMB).
+def bench_train_step(batch=64, seq=128, q_seq=64, iters=10,
+                     loss_kind="nll"):
+    """ANCE-style triplet train step (3 encoder fwd + bwd + LAMB).
     remat keeps the 3-tower backward inside HBM. B=64 is the reference's
-    per-GPU ANCE batch and ~24% faster per triplet than B=32 here.
-    loss_kind='idro' measures the DRO robust step (one shared
-    linearization: forward + G group pullbacks + training pullback)."""
+    per-GPU ANCE batch and ~24% faster per triplet than B=32 here
+    (B=128/256 are slightly slower). Queries run at 64 tokens and docs at
+    128 — the reference's max_query_length/max_seq_length
+    (ANCE/drivers/run_ann.py:526,518). loss_kind='idro' measures the DRO
+    robust step (per-sample-Gram group pass, reference n_groups=50)."""
     import optax
 
     from cocodr_tpu.optim import lamb, warmup_linear
@@ -111,6 +114,8 @@ def bench_train_step(batch=64, seq=128, iters=10, loss_kind="nll"):
     model = build_dual_encoder("rdot_nll_condenser", cfg)
     ids = jnp.ones((batch, seq), jnp.int32)
     mask = jnp.ones((batch, seq), jnp.int32)
+    q_ids = jnp.ones((batch, q_seq), jnp.int32)
+    q_mask = jnp.ones((batch, q_seq), jnp.int32)
     params = model.init(jax.random.PRNGKey(0), ids[:1], mask[:1])["params"]
     tx = lamb(warmup_linear(2e-4, 1000, 100000))
     extra = None
@@ -127,7 +132,7 @@ def bench_train_step(batch=64, seq=128, iters=10, loss_kind="nll"):
     state = jax.device_put(TrainState.create(params, tx, extra=extra))
     step = build_train_step(model, tx, scfg)
     b = {
-        "q_ids": ids, "q_mask": mask, "pos_ids": ids, "pos_mask": mask,
+        "q_ids": q_ids, "q_mask": q_mask, "pos_ids": ids, "pos_mask": mask,
         "neg_ids": ids, "neg_mask": mask,
     }
     if loss_kind == "idro":

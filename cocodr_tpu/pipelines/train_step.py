@@ -342,11 +342,22 @@ def build_train_step(
             # is one K-layer fwd+bwd, independent of G (the reference runs
             # n_groups=50, where the G-backwards path is ~9x this).
             B = losses.shape[0]
-            h3 = jnp.stack(hmids, axis=1)  # [B, 3towers, S, H]
-            m3 = jnp.stack(
-                [batch["q_mask"], batch["pos_mask"], batch["neg_mask"]],
-                axis=1,
-            )  # [B, 3, S]
+            # towers may use different sequence lengths (the reference
+            # trains queries at 64, docs at 128) — pad h_mid/mask to the
+            # longest; padded positions are attention-masked and excluded
+            # from pooling, so they never reach the loss
+            masks = [batch["q_mask"], batch["pos_mask"], batch["neg_mask"]]
+            s_max = max(h.shape[1] for h in hmids)
+            hp = [
+                jnp.pad(h, ((0, 0), (0, s_max - h.shape[1]), (0, 0)))
+                for h in hmids
+            ]
+            mp = [
+                jnp.pad(m, ((0, 0), (0, s_max - m.shape[1])))
+                for m in masks
+            ]
+            h3 = jnp.stack(hp, axis=1)  # [B, 3towers, S_max, H]
+            m3 = jnp.stack(mp, axis=1)  # [B, 3, S_max]
             keys = (
                 jnp.zeros((B, 2), jnp.uint32) if det
                 else jax.random.split(jax.random.fold_in(dropout_rng, 7), B)

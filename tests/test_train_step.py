@@ -173,12 +173,14 @@ def test_idro_fast_group_pass_matches_full_depth():
     dro = DroConfig(n_groups=4)
     bert = BertConfig.tiny()
     model = build_dual_encoder("rdot_nll", bert)
-    B, S = 8, 12
+    # queries shorter than docs, like the reference (q 64 vs doc 128):
+    # exercises the mixed-length padding in the Gram group pass
+    B, SQ, S = 8, 6, 12
     rng = np.random.RandomState(1)
     ids = rng.randint(1, 100, size=(B, S)).astype(np.int32)
     batch = {
-        "q_ids": jnp.asarray(ids),
-        "q_mask": jnp.ones((B, S), jnp.int32),
+        "q_ids": jnp.asarray(ids[:, :SQ]),
+        "q_mask": jnp.ones((B, SQ), jnp.int32),
         "pos_ids": jnp.asarray(np.roll(ids, 1, 1)),
         "pos_mask": jnp.ones((B, S), jnp.int32),
         "neg_ids": jnp.asarray(ids[::-1].copy()),
@@ -186,7 +188,7 @@ def test_idro_fast_group_pass_matches_full_depth():
         "groups": jnp.asarray(rng.randint(0, 4, B)),
     }
     params = model.init(
-        jax.random.PRNGKey(0), batch["q_ids"][:1], batch["q_mask"][:1]
+        jax.random.PRNGKey(0), batch["pos_ids"][:1], batch["pos_mask"][:1]
     )["params"]
     tx = lamb(warmup_linear(5e-4, 2, 100))
 
