@@ -187,6 +187,9 @@ def bench_serve(n_docs=1_048_576, dim=768, batch=64, iters=5, best_of=3):
             svc.search(queries)
         best = min(best, (time.time() - t0) / iters)
     qps_blocking = batch / best
+    # record immediately: if the pipelined phase below wedges and the
+    # alarm fires, the already-measured blocking number must survive
+    RESULT["serve_qps_end_to_end_1M_docs"] = round(qps_blocking, 1)
     # pipelined bulk mode: up to `depth` batches in flight, grouped
     # readbacks — the per-call round trip amortizes away (serve.py
     # search_stream)

@@ -385,6 +385,10 @@ def cmd_serve(args):
     if args.http:
         from cocodr_tpu.pipelines.http_serve import make_server
 
+        # warm the fused program BEFORE accepting traffic: a cold-cache
+        # compile at corpus scale takes minutes, which would expire the
+        # per-request timeout of everything arriving meanwhile
+        service.search([""])
         host, _, port = args.http.rpartition(":")
         server, _ = make_server(
             service, host=host or "127.0.0.1", port=int(port),

@@ -424,7 +424,8 @@ class BertEncoder(nn.Module):
 
     @nn.compact
     def __call__(self, h, attn_bias, *, deterministic,
-                 output_hidden_states: bool = False):
+                 output_hidden_states: bool = False,
+                 capture_layer=None):
         cfg = self.cfg
 
         class Body(nn.Module):
@@ -432,6 +433,19 @@ class BertEncoder(nn.Module):
 
             @nn.compact
             def __call__(self, carry, _):
+                if capture_layer is not None:
+                    # capture ONE layer's output in the carry ([B, S, H])
+                    # instead of collecting the full [L, B, S, H] ys stack
+                    # — the iDRO group pass only needs layer L-K, and the
+                    # full stack costs ~150MB/tower inside a vjp at the
+                    # bench shape. cap initializes to the embeddings
+                    # (hidden[0]), so capture_layer=0 needs no iteration.
+                    hc, i, cap = carry
+                    out = BertLayer(self.cfg, name="layer")(
+                        hc, attn_bias, deterministic=deterministic
+                    )
+                    cap = jnp.where(i == capture_layer - 1, out, cap)
+                    return (out, i + 1, cap), None
                 out = BertLayer(self.cfg, name="layer")(
                     carry, attn_bias, deterministic=deterministic
                 )
@@ -467,6 +481,10 @@ class BertEncoder(nn.Module):
             length=cfg.num_hidden_layers,
             metadata_params={nn.PARTITION_NAME: "layer"},
         )(cfg, name="layers")
+        if capture_layer is not None:
+            assert not output_hidden_states
+            (last, _, captured), _ = stack((h, jnp.int32(0), h), None)
+            return last, captured
         last, all_h = stack(h, None)
         if not output_hidden_states:
             return last, None
@@ -513,6 +531,7 @@ class BertModel(nn.Module):
         position_ids=None,
         deterministic: bool = True,
         output_hidden_states: bool = False,
+        capture_layer=None,
     ):
         B, S = input_ids.shape
         if S > self.cfg.max_position_embeddings:
@@ -540,9 +559,13 @@ class BertModel(nn.Module):
             input_ids, token_type_ids, position_ids, deterministic=deterministic
         )
         attn_bias = make_attention_bias(attention_mask)
+        # hidden_states is EITHER the full [L+1, B, S, H] stack
+        # (output_hidden_states) OR the single captured [B, S, H] layer
+        # output (capture_layer) — the two are mutually exclusive
         last, hidden_states = self.encoder(
             h, attn_bias, deterministic=deterministic,
             output_hidden_states=output_hidden_states,
+            capture_layer=capture_layer,
         )
         pooled = self.pooler(last) if self.with_pooler else None
         return last, hidden_states, pooled

@@ -124,7 +124,7 @@ class DualEncoder(nn.Module):
             attention_mask,
             token_type_ids,
             deterministic=deterministic,
-            output_hidden_states=capture_layer is not None,
+            capture_layer=capture_layer,
         )
         if self.cfg.pooling == "pooler":
             e = pooled
@@ -133,10 +133,12 @@ class DualEncoder(nn.Module):
         if head is not None:
             e = head(e)
         if capture_layer is not None:
-            # hidden[i] = output of layer i (hidden[0] = embeddings), so
-            # hidden[capture_layer] is the INPUT to layer capture_layer+1 —
-            # the restart point for a top-of-stack re-run (idro group pass)
-            return e, hidden[capture_layer]
+            # hidden = output of layer capture_layer (layer 0 = the
+            # embeddings), i.e. the INPUT to layer capture_layer+1 — the
+            # restart point for a top-of-stack re-run (idro group pass).
+            # Captured in the scan carry, NOT via the [L+1, B, S, H]
+            # hidden-state stack (~150MB/tower inside a vjp at B=64).
+            return e, hidden
         return e
 
     def query_emb(self, input_ids, attention_mask, token_type_ids=None,

@@ -83,7 +83,12 @@ class Batcher:
         max_batch = self.service.cfg.max_batch
         while True:
             first = self.q.get()
-            if first is None or self._stop:
+            if first is None:
+                return
+            if self._stop:
+                # drain, don't drop: a request enqueued concurrently with
+                # stop() still gets answered (or at least its event set)
+                self._flush([first])
                 return
             batch = [first]
             deadline = time.time() + self.window_s
@@ -129,8 +134,8 @@ def make_server(service, host: str = "127.0.0.1", port: int = 8080,
     """Returns (ThreadingHTTPServer, Batcher). Caller runs
     server.serve_forever() (or in a thread) and server.shutdown()."""
     batcher = Batcher(service, window_s=window_s)
-    n_docs = int(service.corpus.shape[0]) if hasattr(
-        service.corpus, "shape") else None
+    # service.n_docs excludes sharded-mode pad rows; corpus.shape includes
+    n_docs = getattr(service, "n_docs", None)
 
     class Handler(BaseHTTPRequestHandler):
         def log_message(self, fmt, *args):  # quiet access log
@@ -161,8 +166,28 @@ def make_server(service, host: str = "127.0.0.1", port: int = 8080,
                 return
             try:
                 length = int(self.headers.get("Content-Length", 0))
-                req = json.loads(self.rfile.read(length) or b"{}")
-                k = int(req.get("k", service.cfg.top_k))
+                try:
+                    req = json.loads(self.rfile.read(length) or b"{}")
+                except ValueError:
+                    self._json(400, {"error": "invalid JSON body"})
+                    return
+                if not isinstance(req, dict):
+                    self._json(400, {"error": "body must be an object"})
+                    return
+                # sharded programs are compiled for cfg.top_k; single-chip
+                # programs specialize per k, bounded to keep the jit cache
+                # and top-k kernel sane
+                kmax = (
+                    service.cfg.top_k
+                    if getattr(service, "_sharded_search", None) is not None
+                    else max(service.cfg.top_k, 1000)
+                )
+                k = req.get("k", service.cfg.top_k)
+                if not isinstance(k, int) or not 1 <= k <= kmax:
+                    self._json(400, {
+                        "error": f"k must be an int in [1, {kmax}]"
+                    })
+                    return
                 if "queries" in req:
                     texts = [str(t) for t in req["queries"]]
                     single = False

@@ -66,6 +66,9 @@ class RetrievalService:
         self.mesh = None
         self._sharded_search = None
         self._programs = {}
+        # true corpus size — self.corpus may carry pad rows (sharded mode
+        # pads to a multiple of the data axis); report THIS externally
+        self.n_docs = int(corpus_emb.shape[0])
         if mesh is not None:
             from cocodr_tpu.core.mesh import DATA_AXIS
 
@@ -244,24 +247,10 @@ class RetrievalService:
     def search(self, queries: List[str], top_k: Optional[int] = None
                ) -> Tuple[np.ndarray, list]:
         """-> (scores [Q, k], ids [Q, k] — external doc ids if provided)."""
-        k = top_k or self.cfg.top_k
-        nq = len(queries)
-        pad = self._bucket(nq) - nq
-        ids, mask = self._tokenize(queries + [""] * pad)
-
-        if self._sharded_search is not None:
-            assert k <= self.cfg.top_k, "sharded program compiled for top_k"
-            vals, idx = self._sharded_program(
-                self.params, jnp.asarray(ids), jnp.asarray(mask),
-                self.corpus,
-            )
-            vals, idx = vals[:, :k], idx[:, :k]
-        else:
-            vals, idx = self._program(k)(
-                self.params, jnp.asarray(ids), jnp.asarray(mask),
-                self.corpus, self.dim_scale,
-            )
-        vals, idx = jax.device_get((vals, idx))
+        nq, handles = self._dispatch(
+            list(queries), top_k or self.cfg.top_k
+        )
+        vals, idx = jax.device_get(handles)
         return self._external(vals, idx, nq)
 
     def _external(self, vals, idx, nq):
