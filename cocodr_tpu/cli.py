@@ -804,6 +804,10 @@ def _ance_setup(args):
     if getattr(args, "n_groups", 0):
         cfg = _dc.replace(cfg, dro=_dc.replace(cfg.dro,
                                                n_groups=args.n_groups))
+    if getattr(args, "weight_ema", False):
+        # reference --weight_ema (run_ann.py:792,906): EMA-blend the
+        # greedy h_fun update from the running-fraction cutoff
+        cfg = _dc.replace(cfg, dro=_dc.replace(cfg.dro, weight_ema=True))
     if getattr(args, "rewarmup", False):
         # per-episode LR re-warmup + cross-episode decay
         # (reference ANCE/drivers/run_ann.py:120-125,248-266)
@@ -1179,6 +1183,9 @@ def main(argv=None):
                     help="override the preset loss (reference --dro_type; "
                          "absent = plain NLL, run_ann.py:903-906)")
     sp.add_argument("--n-groups", type=int, default=0)
+    sp.add_argument("--weight-ema", action="store_true",
+                    help="EMA-blend the greedy h_fun update (reference "
+                         "--weight_ema, run_ann.py:792,906)")
     sp.add_argument("--length-buckets", default="")
     sp.add_argument("--no-dropout", action="store_true")
     sp.add_argument("--seed", type=int, default=0)
@@ -1204,6 +1211,9 @@ def main(argv=None):
         sp.add_argument("--loss-kind", default=None,
                         choices=["nll", "dro-greedy", "idro"])
         sp.add_argument("--n-groups", type=int, default=0)
+        sp.add_argument("--weight-ema", action="store_true",
+                        help="EMA-blend the greedy h_fun update "
+                             "(reference --weight_ema)")
         sp.add_argument("--length-buckets", default="")
         sp.add_argument("--async-checkpoint", action="store_true")
         if name == "ance-mine":

@@ -582,3 +582,46 @@ def test_cli_serve_bulk_trec_run(hf_checkpoint, tmp_path, capsys):
         assert [r for r, _ in ranks] == [1, 2, 3]
         scores = [s for _, s in ranks]
         assert scores == sorted(scores, reverse=True)
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("loss_args", [
+    ["--loss-kind", "dro-greedy", "--weight-ema"],
+    ["--loss-kind", "idro"],
+], ids=["dro-greedy-ema", "idro"])
+def test_cli_ance_round_with_dro(hf_checkpoint, tmp_path, capsys, loss_args):
+    """A full CLI ance round with the DRO losses: the miner k-means-clusters
+    queries into groups, the trainer runs the robust step (idro: the Gram
+    group pass), and --weight-ema drives the greedy EMA h_fun update
+    (reference --weight_ema, run_ann.py:792,906)."""
+    data = _write_marco(tmp_path)
+    ck = str(tmp_path / ("ck_" + loss_args[1]))
+    main([
+        "ance",
+        "--data-dir", str(data),
+        "--checkpoint", hf_checkpoint,
+        "--ckpt-dir", ck,
+        "--rounds", "1",
+        "--steps-per-round", "2",
+        "--batch-size", "8",
+        "--n-groups", "4",
+        *loss_args,
+        "--compile-cache", "",
+    ])
+    out = capsys.readouterr().out
+    recs = [json.loads(line) for line in out.splitlines()
+            if line.startswith("{")]
+    rounds = [r for r in recs if "round" in r]
+    assert rounds and rounds[0]["steps"] >= 1
+    from cocodr_tpu.utils.train_state import latest_checkpoint
+
+    latest = latest_checkpoint(ck)
+    assert latest is not None
+    # the DRO state persisted with the checkpoint (resume carries h_fun)
+    import orbax.checkpoint as ocp
+
+    raw = ocp.PyTreeCheckpointer().restore(
+        os.path.abspath(os.path.join(latest, "state"))
+    )
+    h = np.asarray(raw["extra"]["h_fun"])
+    assert h.shape == (4,) and np.isfinite(h).all() and h.sum() > 0
