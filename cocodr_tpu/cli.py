@@ -808,6 +808,13 @@ def _ance_setup(args):
         # reference --weight_ema (run_ann.py:792,906): EMA-blend the
         # greedy h_fun update from the running-fraction cutoff
         cfg = _dc.replace(cfg, dro=_dc.replace(cfg.dro, weight_ema=True))
+    # DRO hyperparameters (reference --alpha/--eps/--rho/--ema,
+    # run_ann.py:905-906; preset defaults carry the published values)
+    for flag, field in (("dro_alpha", "alpha"), ("dro_eps", "eps"),
+                        ("dro_rho", "rho"), ("dro_ema", "ema")):
+        v = getattr(args, flag, None)
+        if v is not None:
+            cfg = _dc.replace(cfg, dro=_dc.replace(cfg.dro, **{field: v}))
     if getattr(args, "rewarmup", False):
         # per-episode LR re-warmup + cross-episode decay
         # (reference ANCE/drivers/run_ann.py:120-125,248-266)
@@ -1186,6 +1193,10 @@ def main(argv=None):
     sp.add_argument("--weight-ema", action="store_true",
                     help="EMA-blend the greedy h_fun update (reference "
                          "--weight_ema, run_ann.py:792,906)")
+    sp.add_argument("--dro-alpha", type=float, default=None)
+    sp.add_argument("--dro-eps", type=float, default=None)
+    sp.add_argument("--dro-rho", type=float, default=None)
+    sp.add_argument("--dro-ema", type=float, default=None)
     sp.add_argument("--length-buckets", default="")
     sp.add_argument("--no-dropout", action="store_true")
     sp.add_argument("--seed", type=int, default=0)
@@ -1214,6 +1225,10 @@ def main(argv=None):
         sp.add_argument("--weight-ema", action="store_true",
                         help="EMA-blend the greedy h_fun update "
                              "(reference --weight_ema)")
+        sp.add_argument("--dro-alpha", type=float, default=None)
+        sp.add_argument("--dro-eps", type=float, default=None)
+        sp.add_argument("--dro-rho", type=float, default=None)
+        sp.add_argument("--dro-ema", type=float, default=None)
         sp.add_argument("--length-buckets", default="")
         sp.add_argument("--async-checkpoint", action="store_true")
         if name == "ance-mine":

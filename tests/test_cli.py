@@ -587,7 +587,8 @@ def test_cli_serve_bulk_trec_run(hf_checkpoint, tmp_path, capsys):
 @pytest.mark.slow
 @pytest.mark.parametrize("loss_args", [
     ["--loss-kind", "dro-greedy", "--weight-ema"],
-    ["--loss-kind", "idro"],
+    ["--loss-kind", "idro", "--dro-alpha", "0.3", "--dro-rho", "0.04",
+     "--dro-eps", "0.02", "--dro-ema", "0.2"],
 ], ids=["dro-greedy-ema", "idro"])
 def test_cli_ance_round_with_dro(hf_checkpoint, tmp_path, capsys, loss_args):
     """A full CLI ance round with the DRO losses: the miner k-means-clusters
