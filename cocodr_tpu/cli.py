@@ -867,6 +867,10 @@ def _add_miner_knobs(sp):
                          "rotating (reference ann_chunk_factor)")
     sp.add_argument("--exact-fp32", action="store_true",
                     help="fp32 sweep for FAISS-bit parity")
+    sp.add_argument("--emb-cache-keep", type=int, default=2,
+                    help="keep the N newest cached corpus embedding dumps "
+                         "(0 = keep all; reference "
+                         "--only_keep_latest_embedding_file)")
 
 
 def _mine_config(args, cfg):
@@ -884,6 +888,7 @@ def _mine_config(args, cfg):
         length_buckets=_parse_buckets(getattr(args, "length_buckets", "")),
         search_method=getattr(args, "search_method", "auto") or "auto",
         emb_cache_dir=getattr(args, "emb_cache_dir", "") or "",
+        emb_cache_keep=getattr(args, "emb_cache_keep", 2),
         ann_chunk_factor=getattr(args, "ann_chunk_factor", 1) or 1,
         exact_fp32=bool(getattr(args, "exact_fp32", False)),
     )

@@ -70,7 +70,30 @@ class MineConfig:
     # checkpoint (reference embedding_dir_exist/load_embedding,
     # data_gen.py:438-495)
     emb_cache_dir: str = ""
+    # keep only the newest N cached corpus embeddings (13.6GB each at
+    # MARCO scale — unbounded growth across rounds otherwise); 0 = keep
+    # all. The reference's --only_keep_latest_embedding_file bounds the
+    # same cost by overwriting one file (data_gen.py:972-973).
+    emb_cache_keep: int = 2
     seed: int = 0
+
+
+def _prune_emb_cache(cache_dir: str, keep: int) -> None:
+    """Drop all but the `keep` newest corpus_*.npy caches (plus their
+    .rows.npy sidecars) — each is corpus-sized (13.6GB at MARCO scale)."""
+    import glob
+
+    files = sorted(
+        (f for f in glob.glob(os.path.join(cache_dir, "corpus_*.npy"))
+         if not f.endswith(".rows.npy")),
+        key=os.path.getmtime, reverse=True,
+    )
+    for f in files[keep:]:
+        for victim in (f, f.replace(".npy", ".rows.npy")):
+            try:
+                os.remove(victim)
+            except OSError:
+                pass
 
 
 def ann_data_path(out_dir: str, n: int) -> str:
@@ -207,6 +230,7 @@ def mine(
                 cfg.emb_cache_dir, f"corpus_{safe}{suffix}.npy"
             )
         if emb_file and os.path.exists(emb_file):
+            os.utime(emb_file)  # LRU: a reused cache is the one to keep
             corpus_emb = np.load(emb_file)
             if multivector:
                 row2doc = np.load(emb_file.replace(".npy", ".rows.npy"))
@@ -225,6 +249,8 @@ def mine(
             if emb_file:
                 np.save(emb_file + ".tmp.npy", corpus_emb)
                 os.replace(emb_file + ".tmp.npy", emb_file)
+        if emb_file and cfg.emb_cache_keep > 0:
+            _prune_emb_cache(cfg.emb_cache_dir, cfg.emb_cache_keep)
 
     def rows_to_docs(top):
         if row2doc is None:

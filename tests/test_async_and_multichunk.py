@@ -212,3 +212,30 @@ def test_mine_multichunk_corpus(tmp_path):
         assert all(0 <= n < 8 for n in negs)  # doc ids, not chunk rows
         assert pos not in negs
     assert 0.0 <= metrics["ndcg_cut_10"] <= 1.0
+
+
+def test_miner_emb_cache_pruning(tmp_path):
+    """emb_cache_keep bounds the cache dir to the N newest corpus dumps
+    (reference --only_keep_latest_embedding_file bounds the same disk cost
+    by overwriting one file, data_gen.py:972-973)."""
+    import time
+
+    qp, pp, positives, dev_qrels = _dataset(tmp_path)
+    model, state, step, tx = _model_state()
+    qc, pc = TokenCache(qp), TokenCache(pp)
+    emb_dir = str(tmp_path / "embs")
+    cfg = MineConfig(
+        topk_training=6, negative_sample=3, n_splits=1, dev_topk=5,
+        batch_size=8, q_chunk=8, mips_tile=8, exact_fp32=True,
+        emb_cache_dir=emb_dir, emb_cache_keep=2,
+    )
+    out = str(tmp_path / "ann")
+    for i in range(3):
+        mine(model, state.params, pc, qc, positives, qc, dev_qrels, out, i,
+             cfg, checkpoint_name=f"ck-{i}")
+        time.sleep(0.05)  # distinct mtimes for the LRU order
+    import glob
+
+    kept = sorted(os.path.basename(f)
+                  for f in glob.glob(os.path.join(emb_dir, "corpus_*.npy")))
+    assert kept == ["corpus_ck-1.npy", "corpus_ck-2.npy"], kept
