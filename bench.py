@@ -150,6 +150,48 @@ def bench_train_step(batch=64, seq=128, q_seq=64, iters=10,
     return batch / best
 
 
+def bench_coco(batch=128, seq=128, iters=8):
+    """COCO pretraining step: Condenser MLM + c_head + global contrastive,
+    B=128 spans (64 docs x 2 spans), bert-base bf16, remat, AdamW — the
+    reference stage's per-device work at its published span length."""
+    import optax
+
+    from cocodr_tpu.models.condenser import CoCondenserForPretraining
+    from cocodr_tpu.pipelines.coco import CocoConfig, build_coco_train_step
+    from cocodr_tpu.utils.train_state import TrainState
+
+    cfg = dataclasses.replace(BertConfig(), dtype=jnp.bfloat16, remat=True)
+    model = CoCondenserForPretraining(cfg, n_head_layers=2, skip_from=6)
+    ids = jnp.ones((batch, seq), jnp.int32)
+    mask = jnp.ones((batch, seq), jnp.int32)
+    rng = np.random.RandomState(0)
+    labels = jnp.asarray(
+        np.where(rng.rand(batch, seq) < 0.15,
+                 rng.randint(5, 1000, size=(batch, seq)), -100)
+        .astype(np.int32)
+    )
+    params = model.init(
+        jax.random.PRNGKey(0), ids[:2], mask[:2], labels[:2]
+    )["params"]
+    tx = optax.adamw(1e-4)
+    state = jax.device_put(TrainState.create(params, tx))
+    step = build_coco_train_step(model, tx, CocoConfig(max_seq_length=seq))
+    batch_d = jax.device_put(
+        {"input_ids": ids, "attention_mask": mask, "labels": labels}
+    )
+    key = jax.random.PRNGKey(0)
+    state, m = step(state, batch_d, key)
+    _ = float(m["loss"])
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.time()
+        for _ in range(iters):
+            state, m = step(state, batch_d, key)
+        _ = float(m["loss"])
+        best = min(best, (time.time() - t0) / iters)
+    return batch / best
+
+
 def bench_serve(n_docs=1_048_576, dim=768, batch=64, iters=5, best_of=3):
     """End-to-end serving: tokenize + encode + exact top-10 at 1M docs."""
     import pathlib
@@ -286,7 +328,7 @@ def _finalize():
     _emit(RESULT)
 
 
-def _watchdog(seconds=1500):
+def _watchdog(seconds=1800):
     """Last-resort guard: if the whole bench wedges, emit what was measured
     so far (plus cached values for the rest) instead of hanging the driver."""
     import signal
@@ -341,6 +383,7 @@ def main():
         ("train_triplets_per_sec_bert_base", bench_train_step, 240),
         ("train_idro_triplets_per_sec",
          lambda: bench_train_step(loss_kind="idro"), 240),
+        ("coco_spans_per_sec_bert_base", bench_coco, 240),
     ):
         try:
             RESULT[key] = round(_run(fn, budget=budget), 1)
