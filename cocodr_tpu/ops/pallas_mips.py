@@ -89,7 +89,7 @@ def _sweep_kernel_i8(q_ref, c_ref, fine_ref, coarse_ref, *, fine: int,
 
 
 def _sweep_kernel2(q_ref, c_ref, fine_ref, coarse_ref, *, fine: int,
-                   coarse: int, pack: bool = False):
+                   coarse: int, pack: bool = False, super_rows: int = 0):
     """Dual-output sweep: fine AND coarse maxima in one pass, so the
     selection phase never re-reads the big fine-maxima array from HBM.
     With pack=True the fine maxima carry their in-block argmax in the 3
@@ -105,7 +105,16 @@ def _sweep_kernel2(q_ref, c_ref, fine_ref, coarse_ref, *, fine: int,
     up (12.0ms vs 14.0ms) — the [Qt, T/fine] store pattern is friendlier.
     Coarse maxima stay corpus-major: their [T/cb, Qt] block has a minor dim
     < 128 when transposed (Mosaic lane constraint) and the array is small
-    enough (64MB at 1M docs) that an XLA transpose downstream is cheap."""
+    enough (64MB at 1M docs) that an XLA transpose downstream is cheap.
+
+    With super_rows = fps > 0 the fine maxima are instead written as a 3D
+    [supers_per_tile, Qt, fps] block — one row of fps fine maxima per
+    (super block, query) pair. The full array [n_super, Qp, fps] is then
+    consumed by _select_fine_blocks' run-gather as a flat row gather after
+    a LEADING-axes merge, which is layout-free; the 2D query-major layout
+    needed a [Q, n_fine] -> [Q*n_super, fps] minor-axis split that XLA's
+    (8,128) tiling turns into a 512MB retile copy (~3.2 ms/search at 1M
+    docs, device-traced reshape.13 — paid by exact AND fast modes)."""
     scores = jax.lax.dot_general(
         c_ref[:],
         q_ref[:],
@@ -115,7 +124,11 @@ def _sweep_kernel2(q_ref, c_ref, fine_ref, coarse_ref, *, fine: int,
     T, Qt = scores.shape
     s3 = scores.reshape(T // fine, fine, Qt)
     fm = _pack_argmax(s3) if pack else jnp.max(s3, axis=1)
-    fine_ref[:] = fm.T  # [Qt, T/fine]
+    if super_rows:
+        fps = super_rows
+        fine_ref[:] = fm.reshape(T // fine // fps, fps, Qt).swapaxes(1, 2)
+    else:
+        fine_ref[:] = fm.T  # [Qt, T/fine]
     coarse_ref[:] = jnp.max(
         fm.reshape(T // (fine * coarse), coarse, Qt), axis=1
     )
@@ -330,9 +343,12 @@ def _select_fine_blocks(bm_fine_q, bm_coarse, k_sel: int, k_fine: int,
     """Fine-block selection: super top-k -> DIRECT fine top-k among the
     surviving supers' fine maxima (the coarse re-select level is gone).
 
-    bm_fine_q [Q, n_fine] query-major fine maxima; bm_coarse [Q, n_coarse]
-    (-inf/INT_MIN on padded columns). Returns (vals, ids): the k_fine best
-    fine-block maxima and their fine-block ids.
+    bm_fine_q: [Q, n_fine] query-major fine maxima, OR the sweep's 3D
+    [n_super, Qp, fps] super-rows layout (preferred at scale: its
+    run-gather view is a leading-axes merge instead of a 512MB minor-axis
+    retile — see _sweep_kernel2). bm_coarse [Q, n_coarse] (-inf/INT_MIN
+    on padded columns). Returns (vals, ids): the k_fine best fine-block
+    maxima and their fine-block ids.
 
     Two-call structure: ONE lax.top_k over the [Q, ~2k] super maxima plus
     ONE pallas_topk over the [Q, k_super*supers*coarse] gathered fine runs.
@@ -347,6 +363,39 @@ def _select_fine_blocks(bm_fine_q, bm_coarse, k_sel: int, k_fine: int,
         -jnp.inf if jnp.issubdtype(bm_coarse.dtype, jnp.floating)
         else jnp.iinfo(bm_coarse.dtype).min
     )
+    if bm_fine_q.ndim == 3:
+        # super-rows layout: [n_super, Qp, fps] from _dual_sweep_mixed
+        assert supers > 1 and n_coarse > supers * k_sel, (
+            "3D fine maxima require the supers selection path"
+        )
+        n_super, Qp, fps = bm_fine_q.shape
+        assert fps == supers * coarse, (fps, supers, coarse)
+        sup = jnp.max(
+            jnp.pad(
+                bm_coarse, ((0, 0), (0, n_super * supers - n_coarse)),
+                constant_values=neg,
+            ).reshape(Q, n_super, supers)
+            if n_super * supers != n_coarse
+            else bm_coarse.reshape(Q, n_super, supers),
+            axis=2,
+        )
+        ks = min(k_super, n_super)
+        _, sup_ids = pallas_topk(sup, ks, interpret=interpret)  # [Q, ks]
+        fine_cand = (
+            sup_ids[:, :, None] * fps
+            + jnp.arange(fps, dtype=jnp.int32)[None, None, :]
+        ).reshape(Q, ks * fps)
+        # flat row gather over the (super, query)-major rows: the
+        # [n_super, Qp, fps] -> [n_super*Qp, fps] view merges LEADING
+        # axes only, so no retile copy (cf. the 2D layout note above)
+        flat_rows = sup_ids * Qp + jnp.arange(Q, dtype=jnp.int32)[:, None]
+        fine_max = jnp.take(
+            bm_fine_q.reshape(n_super * Qp, fps), flat_rows, axis=0
+        ).reshape(Q, ks * fps)
+        fine_max = jnp.where(fine_cand < n_fine_real, fine_max, neg)
+        kf = min(k_fine, n_fine_real)
+        vals, pos = pallas_topk(fine_max, kf, interpret=interpret)
+        return vals, jnp.take_along_axis(fine_cand, pos, axis=1)
     if supers <= 1 or n_coarse <= supers * k_sel:
         # small corpus: single coarse top_k then fine top_k (legacy path)
         kc = min(k_sel, n_coarse)
@@ -463,8 +512,10 @@ def mips_topk_hierarchical(
     contiguous run-gather (2.7x faster than the scattered corpus-major
     gather).
 
-    Measured (v5e, 1M x 768, Q=1024, k=100, best-of-3): 29.7 ms/search ->
-    ~34.5k QPS (33.1 ms without the super level).
+    Measured (v5e, 1M x 768, Q=1024, k=100, best-of-3): 22.7-23.0
+    ms/search -> ~44.5-45.1k QPS with the super-rows fine-maxima layout
+    (28.6 ms with the 2D query-major layout; 33.1 ms without the super
+    level).
     """
     Q, D = queries.shape
     N = corpus.shape[0]
@@ -479,14 +530,22 @@ def mips_topk_hierarchical(
     Np = corpus_p.shape[0]
 
     # phase 1: fine + coarse block maxima in ONE kernel pass; fine maxima
-    # arrive QUERY-MAJOR ([Q, n_fine]) so phase 2b is a contiguous-run
-    # gather, coarse maxima corpus-major ([n_coarse, Q])
+    # arrive in the 3D super-rows layout when the supers selection path
+    # will run (its run-gather view is then layout-free — _sweep_kernel2),
+    # else QUERY-MAJOR [Q, n_fine]; coarse maxima corpus-major [n_coarse, Q]
+    n_fine = Np // fine
+    n_coarse = Np // cb
+    extra = 1 if N % cb else 0
+    k_sel = min(k + extra, n_coarse)
+    use_super_rows = (
+        supers > 1 and n_coarse > supers * k_sel
+        and tile % (cb * supers) == 0
+    )
     bm_fine_q, bm_coarse_t = _dual_sweep_mixed(
         queries, corpus_p, tile=tile, fine=fine, coarse=coarse,
         q_tile=q_tile, interpret=interpret,
+        supers=supers if use_super_rows else 0,
     )
-    n_fine = Np // fine
-    n_coarse = Np // cb
 
     # mask padded blocks (zero-score pad rows could outrank real negatives)
     n_fine_real = -(-N // fine)
@@ -494,10 +553,9 @@ def mips_topk_hierarchical(
     bm_coarse = jnp.where(
         (jnp.arange(n_coarse) < n_coarse_real)[:, None], bm_coarse_t, -jnp.inf
     ).T  # [Q, n_coarse]
-    extra = 1 if N % cb else 0
     # phase 2: super top-k -> fine top-k directly (see _select_fine_blocks)
     _, fine_ids = _select_fine_blocks(
-        bm_fine_q, bm_coarse, k_sel=min(k + extra, n_coarse),
+        bm_fine_q, bm_coarse, k_sel=k_sel,
         k_fine=k + extra, coarse=coarse, supers=supers,
         n_fine_real=n_fine_real,
         k_super=k + (1 if N % (cb * supers) else 0), interpret=interpret,
@@ -582,8 +640,9 @@ def mips_topk_fast(
     exactness is required; this path is for serving/mining where ~1.25x
     lower latency buys more than the last ~0.3% of recall.
 
-    Measured (v5e, 1M x 768, Q=1024, k=100, best-of-3): 24.6 ms -> 41.6k
-    QPS at 99.98% recall@100 (exact hierarchical: 29.7 ms -> 34.5k QPS).
+    Measured (v5e, 1M x 768, Q=1024, k=100, best-of-3): 17.4-18.0 ms ->
+    56.8-58.9k QPS at 99.97% recall@100 (exact hierarchical: 22.7-23.0 ms
+    -> ~45k QPS).
     """
     Q, D = queries.shape
     N = corpus.shape[0]
@@ -594,14 +653,19 @@ def mips_topk_fast(
     corpus_p = _pad_replicate(corpus, max(tile, cb))
     Np = corpus_p.shape[0]
 
-    bm_fine_q, bm_coarse_t = _dual_sweep_mixed(
-        queries, corpus_p, tile=tile, fine=fine, coarse=coarse,
-        q_tile=q_tile, interpret=interpret, pack=True,
-    )
     n_fine = Np // fine
     n_coarse = Np // cb
     n_fine_real = -(-N // fine)
     n_coarse_real = -(-N // cb)
+    use_super_rows = (
+        supers > 1 and n_coarse > supers * min(k, n_coarse)
+        and tile % (cb * supers) == 0
+    )
+    bm_fine_q, bm_coarse_t = _dual_sweep_mixed(
+        queries, corpus_p, tile=tile, fine=fine, coarse=coarse,
+        q_tile=q_tile, interpret=interpret, pack=True,
+        supers=supers if use_super_rows else 0,
+    )
 
     bm_coarse = jnp.where(
         (jnp.arange(n_coarse) < n_coarse_real)[:, None], bm_coarse_t, -jnp.inf
@@ -762,9 +826,15 @@ def _int8_sweep(q_i8, corpus_i8, tile, fine, coarse, q_tile, interpret):
 
 
 def _dual_sweep_mixed(queries, corpus, tile, fine, coarse, q_tile,
-                      interpret, pack=False):
-    """One kernel pass -> (fine maxima [Q, N/fine] QUERY-major, coarse
-    maxima [N/(fine*coarse), Q] corpus-major)."""
+                      interpret, pack=False, supers=0):
+    """One kernel pass -> (fine maxima, coarse maxima [N/cb, Q]
+    corpus-major).
+
+    With supers=0 the fine maxima come back 2D query-major [Q, N/fine].
+    With supers=s > 0 they come back 3D [n_super, Qp, fps] (fps =
+    coarse*s fine maxima per (super block, query) row; NOTE: the query
+    axis keeps its q_tile padding Qp so the leading-axes merge downstream
+    stays layout-free — see _sweep_kernel2). Requires tile % (cb*s) == 0."""
     Q, D = queries.shape
     N = corpus.shape[0]
     cb = fine * coarse
@@ -779,9 +849,28 @@ def _dual_sweep_mixed(queries, corpus, tile, fine, coarse, q_tile,
     Qp = Q + qpad
     n_q_tiles = Qp // q_tile
 
+    if supers:
+        fps = coarse * supers
+        assert tile % (cb * supers) == 0, (tile, cb, supers)
+        spt = tile // (cb * supers)  # super blocks per corpus tile
+        fine_spec = pl.BlockSpec(
+            (spt, q_tile, fps), lambda i, j: (i, j, 0),
+            memory_space=pltpu.VMEM,
+        )
+        fine_shape = jax.ShapeDtypeStruct(
+            (N // (cb * supers), Qp, fps), jnp.float32
+        )
+    else:
+        fps = 0
+        fine_spec = pl.BlockSpec(
+            (q_tile, tile // fine), lambda i, j: (j, i),
+            memory_space=pltpu.VMEM,
+        )
+        fine_shape = jax.ShapeDtypeStruct((Qp, N // fine), jnp.float32)
+
     fine_q, coarse_t = pl.pallas_call(
         functools.partial(_sweep_kernel2, fine=fine, coarse=coarse,
-                          pack=pack),
+                          pack=pack, super_rows=fps),
         grid=(n_tiles, n_q_tiles),
         in_specs=[
             pl.BlockSpec(
@@ -792,17 +881,14 @@ def _dual_sweep_mixed(queries, corpus, tile, fine, coarse, q_tile,
             ),
         ],
         out_specs=(
-            pl.BlockSpec(
-                (q_tile, tile // fine), lambda i, j: (j, i),
-                memory_space=pltpu.VMEM,
-            ),
+            fine_spec,
             pl.BlockSpec(
                 (tile // cb, q_tile), lambda i, j: (i, j),
                 memory_space=pltpu.VMEM,
             ),
         ),
         out_shape=(
-            jax.ShapeDtypeStruct((Qp, N // fine), jnp.float32),
+            fine_shape,
             jax.ShapeDtypeStruct((N // cb, Qp), jnp.float32),
         ),
         interpret=interpret,
@@ -813,6 +899,8 @@ def _dual_sweep_mixed(queries, corpus, tile, fine, coarse, q_tile,
             transcendentals=0,
         ),
     )(queries.astype(jnp.bfloat16), corpus.astype(jnp.bfloat16))
+    if supers:
+        return fine_q, coarse_t[:, :Q]  # fine_q keeps the Qp pad (3D)
     return fine_q[:Q], coarse_t[:, :Q]
 
 
