@@ -804,6 +804,8 @@ def _int8_sweep(q_i8, corpus_i8, tile, fine, coarse, q_tile, interpret,
     Q, D = q_i8.shape
     N = corpus_i8.shape[0]
     cb = fine * coarse
+    if supers and Q > q_tile:
+        q_tile = min(q_tile, 512)  # see _dual_sweep_mixed
     assert N % tile == 0 and tile % cb == 0, (N, tile, cb)
     if not interpret:
         assert (tile // cb) % 8 == 0 and q_tile % 128 == 0, (tile, cb, q_tile)
@@ -875,6 +877,12 @@ def _dual_sweep_mixed(queries, corpus, tile, fine, coarse, q_tile,
     Q, D = queries.shape
     N = corpus.shape[0]
     cb = fine * coarse
+    if supers and Q > q_tile:
+        # multiple query tiles double-buffer the query stream on top of
+        # the (lane-padded) 3D fine block — q_tile=1024 then overflows
+        # VMEM and crashes the Mosaic compile helper; 512 fits (~2% sweep
+        # cost at Q=1024, measured)
+        q_tile = min(q_tile, 512)
     assert N % tile == 0 and tile % cb == 0, (N, tile, cb)
     if not interpret:
         assert (tile // cb) % 8 == 0 and q_tile % 128 == 0, (tile, cb, q_tile)

@@ -233,3 +233,26 @@ def test_fused_attention_matches_xla():
     g1 = jax.grad(lambda q: jnp.sum(attention(q, k, v, bias, 0.3)))(q)
     g2 = jax.grad(lambda q: jnp.sum(_xla_attention_seq(q, k, v, bias, 0.3)))(q)
     np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), atol=1e-5)
+
+
+def test_hierarchical_multiple_query_tiles_super_rows():
+    """The 3D super-rows fine-maxima layout indexes rows as
+    sup*Qp + q (Qp = padded query count). With MULTIPLE query tiles the
+    sweep writes each (i, j) block at a (super, q_tile) offset pair; a
+    mis-indexed flat gather would read another query's maxima. Q spans 3
+    q-tiles here (one partial) to pin the cross-tile indexing."""
+    from cocodr_tpu.ops.pallas_mips import mips_topk_hierarchical
+
+    rng = np.random.RandomState(11)
+    Q, N, D = 20, 4096, 16
+    q = rng.randn(Q, D).astype(np.float32)
+    c = rng.randn(N, D).astype(np.float32)
+    v, i = mips_topk_hierarchical(
+        jnp.asarray(q), jnp.asarray(c), k=4, tile=256, fine=4, coarse=4,
+        q_tile=8, supers=4, interpret=True,
+    )
+    v_ref, i_ref = mips_topk(jnp.asarray(q), jnp.asarray(c), k=4, tile=256)
+    np.testing.assert_allclose(
+        np.asarray(v), np.asarray(v_ref), atol=2e-5, rtol=1e-5
+    )
+    np.testing.assert_array_equal(np.asarray(i), np.asarray(i_ref))
