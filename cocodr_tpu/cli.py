@@ -117,8 +117,11 @@ def _load_tokenizer(path_or_name: str):
     return transformers.AutoTokenizer.from_pretrained(path_or_name)
 
 
-def _load_model_params(checkpoint: str, model_type: str):
-    """checkpoint: HF dir (pytorch_model.bin/safetensors + config.json)."""
+def _load_model_params(checkpoint: str, model_type: str,
+                       bert_overrides: dict | None = None):
+    """checkpoint: HF dir (pytorch_model.bin/safetensors + config.json).
+    bert_overrides: BertConfig field overrides applied after config.json
+    (e.g. {"matmul_int8": True} for the W8A8 inference mode)."""
     import glob as _glob
 
     from cocodr_tpu.models.dual_encoder import MODEL_REGISTRY, build_dual_encoder
@@ -131,6 +134,10 @@ def _load_model_params(checkpoint: str, model_type: str):
     with open(os.path.join(checkpoint, "config.json")) as f:
         hf_cfg = json.load(f)
     cfg = config_from_hf(hf_cfg)
+    if bert_overrides:
+        import dataclasses as _dc
+
+        cfg = _dc.replace(cfg, **bert_overrides)
     weights = None
     for name in ("model.safetensors", "pytorch_model.bin"):
         p = os.path.join(checkpoint, name)
@@ -309,7 +316,10 @@ def cmd_encode(args):
     from cocodr_tpu.pipelines.encode import EncodeConfig, Encoder, encode_cache
 
     mesh = _build_mesh(args)
-    model, params, _ = _load_model_params(args.checkpoint, args.model_type)
+    model, params, _ = _load_model_params(
+        args.checkpoint, args.model_type,
+        bert_overrides={"matmul_int8": True} if args.int8_encode else None,
+    )
     cache = open_token_cache(args.records)
     enc = Encoder(
         model, params, mesh=mesh, is_query=args.queries,
@@ -347,7 +357,10 @@ def cmd_serve(args):
 
     from cocodr_tpu.pipelines.serve import RetrievalService, ServeConfig
 
-    model, params, _ = _load_model_params(args.checkpoint, args.model_type)
+    model, params, _ = _load_model_params(
+        args.checkpoint, args.model_type,
+        bert_overrides={"matmul_int8": True} if args.int8_encode else None,
+    )
     tokenizer = _load_tokenizer(args.tokenizer or args.checkpoint)
     doc_ids = None
     if args.emb:
@@ -1100,6 +1113,9 @@ def main(argv=None):
                     help="encode with query_emb (default: body_emb)")
     sp.add_argument("--noise-level", type=float, default=0.0)
     sp.add_argument("--length-buckets", default="")
+    sp.add_argument("--int8-encode", action="store_true",
+                    help="W8A8 int8 FFN blocks (PTQ inference mode, "
+                         "+8-17%% encode throughput — docs/performance.md)")
     sp.set_defaults(fn=cmd_encode)
 
     sp = sub.add_parser("serve")
@@ -1115,6 +1131,8 @@ def main(argv=None):
     sp.add_argument("--top-k", type=int, default=10)
     sp.add_argument("--fast", action="store_true")
     sp.add_argument("--int8", action="store_true")
+    sp.add_argument("--int8-encode", action="store_true",
+                    help="W8A8 int8 FFN blocks for query encoding")
     sp.add_argument("--exact-fp32", action="store_true")
     sp.add_argument("--queries", default=None,
                     help="qid\\ttext TSV: bulk mode -> TREC run via the "

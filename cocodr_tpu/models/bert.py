@@ -72,6 +72,18 @@ class BertConfig:
     # for weights beyond the VMEM budget (bert-large), and on the backward
     # pass (recompute-through-XLA VJP). 'dense': always the XLA pair.
     ffn_impl: str = "fused"
+    # Opt-in W8A8 int8 FFN blocks (ops/pallas_ffn.fused_ffn_block_int8):
+    # dynamic per-token activation scales, per-output-channel weight
+    # scales, int32 MXU accumulation. Applied ONLY where int8 measured a
+    # win — the fused FFN half-layer, where int8 weights halve the
+    # resident VMEM (bert-large FFN fits unstreamed). The attention
+    # projections stay bf16: XLA-level W8A8 there measured 0.78x (the
+    # quantize passes don't fuse into the dot — docs/performance.md).
+    # Embeddings, LayerNorm, softmax and the attention einsums keep the
+    # bf16/f32 policy. PTQ inference mode for encode/mine/serve (the
+    # reference's Apex-fp16 inference analog, one step further) — NOT
+    # for training: no int8 VJP. Takes precedence over ffn_impl.
+    matmul_int8: bool = False
 
     @classmethod
     def roberta_base(cls, **kw) -> "BertConfig":
@@ -344,6 +356,38 @@ class BertLayer(nn.Module):
             raise ValueError(
                 f"ffn_impl must be 'dense' or 'fused', got {cfg.ffn_impl!r}"
             )
+        if cfg.matmul_int8 and not deterministic and (
+            cfg.hidden_dropout_prob > 0
+        ):
+            raise ValueError(
+                "matmul_int8 is a PTQ inference mode (no int8 VJP, no "
+                "dropout inside the fused block); run deterministic or "
+                "zero hidden_dropout_prob"
+            )
+        if cfg.matmul_int8:
+            # W8A8 half-layer kernel (LN1 -> int8 FFN -> +res -> LN2 in
+            # VMEM, ops/pallas_ffn.ffn_block_int8) — the int8 twin of the
+            # fused bf16 block below. Weights are quantized per call from
+            # the shared f32 param tree; int8 halves the resident weight
+            # VMEM, so bert-large also stays unstreamed.
+            from cocodr_tpu.ops.pallas_ffn import ffn_block_int8
+
+            s1, c1 = _LNParams(cfg.hidden_size, name="attention_layer_norm")()
+            w1, b1 = _DenseParams(
+                cfg.hidden_size, cfg.intermediate_size, cfg,
+                name="intermediate",
+            )()
+            w2, b2 = _DenseParams(
+                cfg.intermediate_size, cfg.hidden_size, cfg,
+                name="ffn_output",
+            )()
+            s2, c2 = _LNParams(cfg.hidden_size, name="output_layer_norm")()
+            r = h + attn_out
+            B_, S_, H_ = r.shape
+            return ffn_block_int8(
+                r.reshape(B_ * S_, H_), s1, c1, w1, b1, w2, b2,
+                s2, c2, cfg.hidden_act, cfg.layer_norm_eps,
+            ).reshape(B_, S_, H_)
         if cfg.ffn_impl == "fused" and (
             deterministic or cfg.hidden_dropout_prob == 0.0
         ):

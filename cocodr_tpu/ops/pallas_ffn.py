@@ -292,6 +292,96 @@ def fused_ffn_block(r, ln1_scale, ln1_bias, w1, b1, w2, b2, ln2_scale,
     return out[:T]
 
 
+def _quant_rows_f32(x32):
+    """[tt, C] f32 -> (int8, [tt, 1] f32 scale). Symmetric per-row maxabs
+    (same recipe as ops/int8_matmul.quantize_rows, inlined for VMEM)."""
+    s = jnp.maximum(jnp.max(jnp.abs(x32), axis=-1, keepdims=True), 1e-30)
+    s = s / 127.0
+    q = jnp.clip(jnp.round(x32 / s), -127, 127).astype(jnp.int8)
+    return q, s
+
+
+def _ffn_block_kernel_int8(
+    r_ref, s1_ref, c1_ref, w1_ref, sw1_ref, b1_ref, w2_ref, sw2_ref, b2_ref,
+    s2_ref, c2_ref, out_ref, *, act: str, eps: float,
+):
+    """W8A8 twin of _ffn_block_kernel: LN1 -> q -> int8 dot -> dq -> act
+    -> q -> int8 dot -> dq -> +residual -> LN2, all in VMEM.
+
+    Weights arrive pre-quantized (per-output-channel symmetric int8 +
+    f32 scales — half the VMEM of the bf16 weights, so bert-large fits
+    resident). Activations are quantized per-token in-register; both
+    accumulations are int32 on the MXU, dequantized as int32 * (row-scale
+    x col-scale) in f32. LayerNorms, activation, residual and bias adds
+    stay f32 — only the two matmuls drop precision."""
+    u32 = _ln(r_ref[:].astype(jnp.float32), s1_ref, c1_ref, eps)  # [tt, H]
+    uq, su = _quant_rows_f32(u32)
+    h = jax.lax.dot_general(
+        uq, w1_ref[:], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    ).astype(jnp.float32) * (su * sw1_ref[:])  # [tt, F] f32
+    h = _act_fn(act)(h + b1_ref[:].astype(jnp.float32))
+    hq, sh = _quant_rows_f32(h)
+    y = jax.lax.dot_general(
+        hq, w2_ref[:], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    ).astype(jnp.float32) * (sh * sw2_ref[:])  # [tt, H] f32
+    z32 = u32 + y + b2_ref[:].astype(jnp.float32)
+    out_ref[:] = _ln(z32, s2_ref, c2_ref, eps).astype(out_ref.dtype)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("act", "eps", "token_tile", "interpret")
+)
+def fused_ffn_block_int8(r, ln1_scale, ln1_bias, w1q, sw1, b1, w2q, sw2, b2,
+                         ln2_scale, ln2_bias, act: str = "gelu",
+                         eps: float = 1e-12, token_tile: int = 256,
+                         interpret: bool = False):
+    """Post-attention half-layer with W8A8 int8 matmuls. r [T, H] compute
+    dtype; w1q [H, F] / w2q [F, H] int8 with per-output-channel f32 scales
+    sw1 [F] / sw2 [H]; biases and LN params f32. VMEM at bert-base: 4.5MB
+    int8 weights (resident) + [tt, F] f32 intermediate 3MB + tiles."""
+    T, H = r.shape
+    F = w1q.shape[1]
+    tt = token_tile
+    pad = (-T) % tt
+    if pad:
+        r = jnp.pad(r, ((0, pad), (0, 0)))
+    Tp = T + pad
+
+    const = lambda i: (0, 0)  # noqa: E731
+    out = pl.pallas_call(
+        functools.partial(_ffn_block_kernel_int8, act=act, eps=eps),
+        grid=(Tp // tt,),
+        in_specs=[
+            pl.BlockSpec((tt, H), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, H), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, H), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((H, F), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, F), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, F), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((F, H), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, H), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, H), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, H), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, H), const, memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (tt, H), lambda i: (i, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((Tp, H), r.dtype),
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=4 * Tp * H * F,
+            bytes_accessed=2 * Tp * H * r.dtype.itemsize + 2 * H * F,
+            transcendentals=Tp * F,
+        ),
+    )(r, ln1_scale[None, :], ln1_bias[None, :], w1q, sw1[None, :],
+      b1[None, :], w2q, sw2[None, :], b2[None, :], ln2_scale[None, :],
+      ln2_bias[None, :])
+    return out[:T]
+
+
 def _xla_ffn_block(r, ln1_scale, ln1_bias, w1, b1, w2, b2, ln2_scale,
                    ln2_bias, act: str, eps: float):
     """Unfused reference of the half-layer, replicating models/bert.py's
@@ -337,6 +427,39 @@ def ffn_block(r, ln1_scale, ln1_bias, w1, b1, w2, b2, ln2_scale, ln2_bias,
     return _xla_ffn_block(
         r, ln1_scale, ln1_bias, w1, b1, w2, b2, ln2_scale, ln2_bias, act, eps
     )
+
+
+def ffn_block_int8(r, ln1_scale, ln1_bias, w1, b1, w2, b2, ln2_scale,
+                   ln2_bias, act: str, eps: float):
+    """W8A8 half-layer dispatch (inference only — models/bert.py gates it
+    behind matmul_int8 + deterministic). Weights are quantized
+    per-output-channel here in XLA (one ~9MB pass, amortized across all
+    token tiles); activations per-token inside the kernel. Off-TPU the
+    same math runs through ops/int8_matmul.dense_w8a8 so CPU tests cover
+    the exact quantization semantics the kernel implements."""
+    from cocodr_tpu.ops.int8_matmul import dense_w8a8, quantize_cols
+
+    if _tpu_like_backend() and r.shape[0] % 8 == 0:
+        w_bytes = w1.size + w2.size  # int8: 1 byte/elem
+        if w_bytes <= 12 * 1024 * 1024:
+            w1q, sw1 = quantize_cols(w1)
+            w2q, sw2 = quantize_cols(w2)
+            return fused_ffn_block_int8(
+                r, ln1_scale, ln1_bias, w1q, sw1[0], b1, w2q, sw2[0], b2,
+                ln2_scale, ln2_bias, act=act, eps=eps,
+            )
+
+    def ln(x32, scale, bias):
+        mean = jnp.mean(x32, axis=-1, keepdims=True)
+        var = jnp.mean(jnp.square(x32 - mean), axis=-1, keepdims=True)
+        return (x32 - mean) * jax.lax.rsqrt(var + eps) * scale + bias
+
+    u32 = ln(r.astype(jnp.float32), ln1_scale, ln1_bias)
+    h = _act_fn(act, in_kernel=False)(
+        dense_w8a8(u32, w1, b1, out_dtype=jnp.float32)
+    )
+    y = dense_w8a8(h, w2, b2, out_dtype=jnp.float32)
+    return ln(u32 + y, ln2_scale, ln2_bias).astype(r.dtype)
 
 
 def _ffn_block_fwd(r, s1, c1, w1, b1, w2, b2, s2, c2, act, eps):

@@ -212,6 +212,23 @@ def test_cli_encode_and_serve(hf_checkpoint, tmp_path, capsys, monkeypatch):
     info = json.loads(out[out.index("{"):])
     assert info["n"] == 8
 
+    # --int8-encode (W8A8 PTQ mode) produces close embeddings
+    main([
+        "encode",
+        "--checkpoint", hf_checkpoint,
+        "--records", str(tmp_path / "rec" / "passages"),
+        "--out", str(tmp_path / "corpus_i8.npy"),
+        "--batch-size", "4",
+        "--int8-encode",
+        "--compile-cache", "",
+    ])
+    capsys.readouterr()
+    e = np.load(emb_path)
+    e8 = np.load(tmp_path / "corpus_i8.npy")
+    cos = np.sum(e * e8, axis=1) / np.maximum(
+        np.linalg.norm(e, axis=1) * np.linalg.norm(e8, axis=1), 1e-9)
+    assert cos.min() > 0.98, cos
+
     import io
     monkeypatch.setattr("sys.stdin", io.StringIO("alpha filler\n"))
     main([
