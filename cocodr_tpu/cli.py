@@ -201,7 +201,10 @@ def cmd_eval_beir(args):
     from cocodr_tpu.pipelines.eval_beir import eval_beir
 
     mesh = _build_mesh(args)
-    model, params, _ = _load_model_params(args.checkpoint, args.model_type)
+    model, params, _ = _load_model_params(
+        args.checkpoint, args.model_type,
+        bert_overrides={"matmul_int8": True} if args.int8_encode else None,
+    )
     tokenizer = _load_tokenizer(args.tokenizer or args.checkpoint)
     kw = {}
     if args.query_len:
@@ -585,6 +588,9 @@ def cmd_ance(args):
     )
     batcher = TripletBatcher(qc, pc)
     mine_cfg = _mine_config(args, cfg)
+    # int8 applies to the mining encodes only; `step` above captured the
+    # float model, and both share state.params
+    mine_model = _int8_variant(model) if args.int8_encode else model
     logger = _metrics_logger(args)
     work_dir = os.path.join(args.ckpt_dir, "ann_data")
     # resume: the state was restored in _ance_setup; continue at the round
@@ -598,7 +604,7 @@ def cmd_ance(args):
         state, dev_metrics, steps = ance_round(
             state,
             step,
-            model,
+            mine_model,
             batcher,
             pc,
             qc,
@@ -866,6 +872,21 @@ def _ance_setup(args):
             mesh, device_put)
 
 
+def _int8_variant(model):
+    """Clone a dual encoder with matmul_int8=True for the W8A8 PTQ encode
+    path. Same param tree — the int8 blocks quantize from the shared float
+    params at apply time, so the clone shares `state.params` with the fp
+    training model; only the encode-side compute changes."""
+    import dataclasses as _dc
+
+    from cocodr_tpu.models.dual_encoder import DualEncoder
+
+    cfg = model.cfg
+    return DualEncoder(
+        _dc.replace(cfg, bert=_dc.replace(cfg.bert, matmul_int8=True))
+    )
+
+
 def _add_miner_knobs(sp):
     """Miner flags shared by `ance` and `ance-mine` (parity with
     run_ann_data_gen.py's CLI surface)."""
@@ -884,6 +905,9 @@ def _add_miner_knobs(sp):
                     help="keep the N newest cached corpus embedding dumps "
                          "(0 = keep all; reference "
                          "--only_keep_latest_embedding_file)")
+    sp.add_argument("--int8-encode", action="store_true",
+                    help="W8A8 int8 FFN blocks for the mining encodes "
+                         "(PTQ inference mode; training stays float)")
 
 
 def _mine_config(args, cfg):
@@ -917,6 +941,8 @@ def cmd_ance_mine(args):
 
     (cfg, model, tx, state, pc, qc, dev_qc, positives, dev_qrels, mesh,
      _device_put) = _ance_setup(args)
+    if getattr(args, "int8_encode", False):
+        model = _int8_variant(model)
     mine_loop(
         model,
         checkpoint_params_loader(args.ckpt_dir, state),
@@ -1099,6 +1125,9 @@ def main(argv=None):
                     help="write ann_ndcg_group_{task}_{n} for the ANCE "
                          "trainer's per-task TB curves")
     sp.add_argument("--result-num", type=int, default=0)
+    sp.add_argument("--int8-encode", action="store_true",
+                    help="W8A8 int8 FFN blocks for corpus/query encoding "
+                         "(PTQ inference mode)")
     sp.set_defaults(fn=cmd_eval_beir)
 
     sp = sub.add_parser("encode")

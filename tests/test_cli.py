@@ -95,6 +95,33 @@ def test_cli_eval_beir(hf_checkpoint, tmp_path, capsys):
     assert metrics["num_queries"] == 4
 
 
+def test_cli_eval_beir_int8_encode(hf_checkpoint, tmp_path, capsys):
+    """--int8-encode (W8A8 PTQ) drives the whole BEIR eval; on the tiny
+    separable fixture the metrics must match the float path."""
+    data_dir = _write_beir(tmp_path)
+    argv = [
+        "eval-beir",
+        "--data-dir", data_dir,
+        "--work-dir", str(tmp_path / "work8"),
+        "--checkpoint", hf_checkpoint,
+        "--task", "smoke",
+        "--batch-size", "4",
+        "--top-k", "8",
+        "--query-len", "8",
+        "--doc-len", "8",
+        "--compile-cache", "",
+    ]
+    main(argv)
+    out = capsys.readouterr().out
+    m_fp = json.loads(out[out.index("{"):])
+    main(argv + ["--int8-encode"])
+    out = capsys.readouterr().out
+    m_i8 = json.loads(out[out.index("{"):])
+    assert m_i8["num_queries"] == m_fp["num_queries"]
+    # quantization shifts scores but not the tiny fixture's ranking
+    assert abs(m_i8["ndcg_cut_10"] - m_fp["ndcg_cut_10"]) < 0.2
+
+
 @pytest.mark.slow
 def test_cli_coco(hf_checkpoint, tmp_path, capsys):
     # spans from the same corpus
@@ -314,6 +341,7 @@ def test_cli_ance_miner_knobs(hf_checkpoint, tmp_path, capsys):
         "--emb-cache-dir", emb_cache,
         "--ann-chunk-factor", "2",
         "--exact-fp32",
+        "--int8-encode",
         "--compile-cache", "",
     ])
     capsys.readouterr()
