@@ -292,8 +292,18 @@ class _BenchTimeout(Exception):
 def _run(fn, budget, retries=1):
     """Run fn under a SIGALRM budget; retry once with a fresh alarm before
     giving up (the remote compile service wedges transiently — a retry
-    usually lands because the persistent cache has the partial compiles)."""
+    usually lands because the persistent cache has the partial compiles).
+
+    Budgets are clamped to the global deadline so the sum of sub-bench
+    retries can never push the final emit past the driver's outer budget;
+    with <45s left, sub-benches fail fast and fall back to the cache."""
     import signal
+
+    if _DEADLINE[0] is not None:
+        remaining = int(_DEADLINE[0] - time.time())
+        if remaining < 45:
+            raise _BenchTimeout("global deadline reached")
+        budget = min(budget, remaining - 15)
 
     def on_alarm(signum, frame):
         raise _BenchTimeout()
@@ -328,17 +338,29 @@ def _finalize():
     _emit(RESULT)
 
 
-def _watchdog(seconds=1800):
-    """Last-resort guard: if the whole bench wedges, emit what was measured
-    so far (plus cached values for the rest) instead of hanging the driver."""
-    import signal
+_DEADLINE = [None]  # wall-clock time.time() the whole bench must emit by
 
-    def on_timeout(signum, frame):
+
+def _watchdog(seconds=850):
+    """Last-resort guard: if the whole bench wedges, emit what was measured
+    so far (plus cached values for the rest) instead of hanging the driver.
+
+    Uses a daemon thread timer, NOT signal.alarm: each `_run` sub-budget
+    already owns the process's single SIGALRM timer, and its
+    `signal.alarm(0)` cleanup would silently cancel a watchdog alarm
+    (observed: the bench ran past the driver's outer budget with zero
+    output). 850s keeps the emit inside a ~900s driver budget."""
+    import threading
+
+    _DEADLINE[0] = time.time() + seconds
+
+    def on_timeout():
         _finalize()
         os._exit(0)
 
-    signal.signal(signal.SIGALRM, on_timeout)
-    signal.alarm(seconds)
+    t = threading.Timer(seconds, on_timeout)
+    t.daemon = True
+    t.start()
 
 
 def _preimport():
