@@ -225,6 +225,7 @@ def cmd_eval_beir(args):
         exact_fp32=args.exact_fp32,
         length_buckets=_parse_buckets(args.length_buckets),
         search_method=args.search_method,
+        ivf_nprobe=getattr(args, "ivf_nprobe", 32),
         **kw,
     )
     if args.result_dir:
@@ -892,7 +893,10 @@ def _add_miner_knobs(sp):
     run_ann_data_gen.py's CLI surface)."""
     sp.add_argument("--search-method", default="auto",
                     choices=["auto", "pallas", "fast", "blockmax",
-                             "refined", "naive"])
+                             "refined", "naive", "ivf"])
+    sp.add_argument("--ivf-nprobe", type=int, default=32,
+                    help="clusters probed per query with "
+                         "--search-method ivf (recall knob)")
     sp.add_argument("--emb-cache-dir", default="",
                     help="reuse corpus embeddings per checkpoint "
                          "(reference embedding_dir_exist/load_embedding)")
@@ -924,6 +928,7 @@ def _mine_config(args, cfg):
         batch_size=cfg.eval_batch,
         length_buckets=_parse_buckets(getattr(args, "length_buckets", "")),
         search_method=getattr(args, "search_method", "auto") or "auto",
+        ivf_nprobe=getattr(args, "ivf_nprobe", 32) or 32,
         emb_cache_dir=getattr(args, "emb_cache_dir", "") or "",
         emb_cache_keep=getattr(args, "emb_cache_keep", 2),
         ann_chunk_factor=getattr(args, "ann_chunk_factor", 1) or 1,
@@ -1120,7 +1125,10 @@ def main(argv=None):
                          "doc len), e.g. 64,128 — recovers padding waste")
     sp.add_argument("--search-method", default="auto",
                     choices=["auto", "pallas", "fast", "blockmax",
-                             "refined", "naive"])
+                             "refined", "naive", "ivf"])
+    sp.add_argument("--ivf-nprobe", type=int, default=32,
+                    help="clusters probed per query with "
+                         "--search-method ivf (recall knob)")
     sp.add_argument("--result-dir", default=None,
                     help="write ann_ndcg_group_{task}_{n} for the ANCE "
                          "trainer's per-task TB curves")

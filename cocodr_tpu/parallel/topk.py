@@ -144,14 +144,34 @@ def mips_topk_sharded(queries, corpus, k: int, mesh, q_chunk: int = 4096,
 
 def search_topk(queries, corpus, k: int, mesh=None, q_chunk: int = 4096,
                 tile: int = 16384, exact_fp32: bool = False,
-                method: str = "auto"):
+                method: str = "auto", ivf_index=None, ivf_nprobe: int = 32):
     """Mesh-aware search dispatch for the mining/eval pipelines: sharded
     cross-device search when a >1-device data mesh is given, single-device
-    (pallas on TPU) otherwise."""
+    (pallas on TPU) otherwise.
+
+    method='ivf': clustered approximate search (ops/ivf.py — the FAISS
+    IndexIVFFlat role). Pass a prebuilt `ivf_index` to amortize the
+    k-means build across calls on the same corpus (the miner searches
+    dev + train queries per round); otherwise one is built here.
+    Single-device only — a >1-device mesh falls back to the sharded
+    exact path (per-chip corpora shard in flat layout already)."""
     from cocodr_tpu.core.mesh import DATA_AXIS
     from cocodr_tpu.ops.mips import mips_topk_chunked_queries
 
-    if mesh is not None and mesh.shape[DATA_AXIS] > 1:
+    sharded = mesh is not None and mesh.shape[DATA_AXIS] > 1
+    if method == "ivf" and not sharded and not exact_fp32:
+        import jax.numpy as jnp
+
+        from cocodr_tpu.ops.ivf import build_ivf_index, ivf_topk_chunked
+
+        if ivf_index is None:
+            ivf_index = build_ivf_index(corpus, dtype=jnp.bfloat16)
+        return ivf_topk_chunked(
+            queries, ivf_index, k, nprobe=ivf_nprobe, q_chunk=q_chunk
+        )
+    if method == "ivf":
+        method = "auto"  # sharded / fp32-parity calls: exact fallback
+    if sharded:
         return mips_topk_sharded(
             queries, corpus, k, mesh, q_chunk=q_chunk, tile=tile,
             exact_fp32=exact_fp32, method=method,

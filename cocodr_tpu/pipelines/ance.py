@@ -54,10 +54,14 @@ class MineConfig:
     q_chunk: int = 4096
     mips_tile: int = 32768
     exact_fp32: bool = False  # fp32 sweep (FAISS-bit parity); default bf16+fp32 rescore
-    # search method for mining/dev eval: 'auto' (exact pallas on TPU) or
+    # search method for mining/dev eval: 'auto' (exact pallas on TPU),
     # 'fast' (rescore-free block-argmax, ~1.25x faster, ~99.7% recall@100 —
-    # hard negatives tolerate it); ignored with exact_fp32
+    # hard negatives tolerate it), or 'ivf' (clustered approximate,
+    # ops/ivf.py: the index is built once per round and reused for the
+    # dev + train searches; recall set by ivf_nprobe). ignored with
+    # exact_fp32.
     search_method: str = "auto"
+    ivf_nprobe: int = 32
     # length-bucketed corpus encode: ascending seq widths, last >= cache
     # max_len (e.g. (64, 128)); recovers padding waste — MARCO passages
     # average ~half the 128-token budget. () = single-width encode.
@@ -257,13 +261,26 @@ def mine(
             return top
         return np.where(top >= 0, row2doc[top], -1)
 
+    # one IVF index per round serves both the dev and train searches
+    ivf_index = None
+    if cfg.search_method == "ivf" and not cfg.exact_fp32:
+        from cocodr_tpu.core.mesh import DATA_AXIS
+
+        if mesh is None or mesh.shape[DATA_AXIS] <= 1:
+            import jax.numpy as jnp
+
+            from cocodr_tpu.ops.ivf import build_ivf_index
+
+            ivf_index = build_ivf_index(corpus_emb, dtype=jnp.bfloat16)
+
     # dev eval at this checkpoint (data_gen.py:306-319)
     dev_emb = encode_cache(q_enc, dev_query_cache, ecfg)
     k = min(cfg.dev_topk, corpus_emb.shape[0])
     _, dev_top = search_topk(
         dev_emb, corpus_emb, k, mesh=mesh, q_chunk=cfg.q_chunk,
         tile=cfg.mips_tile, exact_fp32=cfg.exact_fp32,
-        method=cfg.search_method,
+        method=cfg.search_method, ivf_index=ivf_index,
+        ivf_nprobe=cfg.ivf_nprobe,
     )
     dev_top = rows_to_docs(dev_top)
     dev_run = run_from_topk(
@@ -289,7 +306,8 @@ def mine(
     _, train_top = search_topk(
         train_emb, corpus_emb, kt, mesh=mesh, q_chunk=cfg.q_chunk,
         tile=cfg.mips_tile, exact_fp32=cfg.exact_fp32,
-        method=cfg.search_method,
+        method=cfg.search_method, ivf_index=ivf_index,
+        ivf_nprobe=cfg.ivf_nprobe,
     )
     negatives, mrr_scores = generate_negatives(
         rows_to_docs(train_top), query_ids, train_positives, cfg, rng

@@ -47,8 +47,10 @@ class BeirEvalConfig:
     exact_fp32: bool = False
     length_buckets: tuple = ()  # bucketed corpus encode (see MineConfig)
     # 'auto' (exact pallas on TPU) | 'fast' (block-argmax, ~99.98%
-    # recall@100) | 'pallas' | 'blockmax' | 'refined' | 'naive'
+    # recall@100) | 'ivf' (clustered approximate, ops/ivf.py; recall set
+    # by ivf_nprobe) | 'pallas' | 'blockmax' | 'refined' | 'naive'
     search_method: str = "auto"
+    ivf_nprobe: int = 32
 
     @classmethod
     def for_task(cls, task: str, **kw) -> "BeirEvalConfig":
@@ -147,7 +149,7 @@ def evaluate_beir_task(
     _, top_ids = search_topk(
         query_emb, corpus_emb, k, mesh=mesh, q_chunk=cfg.q_chunk,
         tile=cfg.mips_tile, exact_fp32=cfg.exact_fp32,
-        method=cfg.search_method,
+        method=cfg.search_method, ivf_nprobe=cfg.ivf_nprobe,
     )
     if row2doc is not None:
         top_ids = np.where(top_ids >= 0, row2doc[top_ids], -1)

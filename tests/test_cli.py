@@ -355,6 +355,34 @@ def test_cli_ance_miner_knobs(hf_checkpoint, tmp_path, capsys):
     assert qids and qids <= set(range(4)), qids
 
 
+@pytest.mark.slow
+def test_cli_ance_ivf_mining(hf_checkpoint, tmp_path, capsys):
+    """--search-method ivf drives the clustered index through a full ANCE
+    round: negatives mined, dev metrics produced (tiny corpus -> the
+    default nprobe covers every cluster, so mining stays exact)."""
+    data = _write_marco(tmp_path)
+    main([
+        "ance",
+        "--data-dir", str(data),
+        "--checkpoint", hf_checkpoint,
+        "--ckpt-dir", str(tmp_path / "ck_ivf"),
+        "--rounds", "1",
+        "--steps-per-round", "2",
+        "--batch-size", "8",
+        "--loss-kind", "nll",
+        "--search-method", "ivf",
+        "--ivf-nprobe", "64",
+        "--compile-cache", "",
+    ])
+    out = capsys.readouterr().out
+    recs = [json.loads(line) for line in out.splitlines()
+            if line.startswith("{")]
+    rounds = [r for r in recs if "round" in r]
+    assert rounds and rounds[0]["steps"] >= 1
+    ann = str(tmp_path / "ck_ivf" / "ann_data" / "ann_training_data_0")
+    assert os.path.exists(ann) and open(ann).read().strip()
+
+
 @pytest.mark.parametrize(
     "model_type",
     ["rdot_nll_condenser", "rdot_nll", "rdot_nll_multi_chunk", "dpr"],
