@@ -75,6 +75,27 @@ def test_msmarco_mrr():
     assert m["QueriesRanked"] == 3
 
 
+def test_msmarco_mrr_partial_run():
+    """Official semantics on a PARTIAL run (msmarco_eval.py:109-139):
+    the mean is over ALL qrel queries — queries missing from the run
+    contribute 0 to the numerator but stay in the denominator — and
+    QueriesRanked counts run queries (including unjudged extras)."""
+    qrels = {1: [7], 2: [9], 3: [5], 4: [2]}
+    run = {1: [7], 3: [8, 5], 99: [1]}  # qids 2,4 unranked; 99 unjudged
+    m = compute_mrr(qrels, run)
+    assert m["MRR @10"] == pytest.approx((1.0 + 0.5) / 4)
+    assert m["QueriesRanked"] == 3  # len(run), reference :138
+
+
+def test_msmarco_quality_checks_pad_pid():
+    """Pid 0 is the official script's pad value and is exempt from the
+    duplicate check (`duplicate_pids - set([0])`, msmarco_eval.py:100-102)."""
+    ok, _ = quality_checks({1: [7, 0, 0, 0]})
+    assert ok
+    ok, _ = quality_checks({1: [7, 7, 0, 0]})
+    assert not ok
+
+
 # ---------------------------------------------------------------------------
 # Randomized cross-validation (pytrec_eval is not installable in this image,
 # so the next-best check is a second, independently-written implementation:
