@@ -23,8 +23,12 @@ backward for the per-group pass (only the robust-loss pullback needs it).
 
 Note on the reference's "layerwise" LAMB param groups
 (warmup/drivers/run_bm25_warmup.py:65-79): the groups share every
-hyperparameter, and LAMB's trust ratio is per-tensor, so grouping has no
-numerical effect — our per-leaf LAMB is exactly equivalent.
+hyperparameter, so param GROUPING has no numerical effect. LAMB's trust
+ratio IS per-tensor though, and our scan-stacked encoder fuses the L
+per-layer tensors into [L, ...] leaves — optim/lamb.py computes the trust
+ratio per leading-axis slice on those leaves to match the reference's
+per-layer-tensor dynamics (verified end-to-end by
+tests/test_trajectory_parity.py).
 """
 from __future__ import annotations
 
