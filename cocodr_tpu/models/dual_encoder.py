@@ -158,9 +158,9 @@ class DualEncoder(nn.Module):
             head = self.head if self.cfg.use_head else None
             encoder = self.encoder
         if self.cfg.chunk_len and input_ids.shape[1] > self.cfg.chunk_len:
-            assert capture_layer is None, "capture_layer: single-chunk only"
             return self._multi_chunk_emb(
-                encoder, head, input_ids, attention_mask, deterministic
+                encoder, head, input_ids, attention_mask, deterministic,
+                capture_layer,
             )
         return self._emb(
             encoder, head, input_ids, attention_mask, token_type_ids,
@@ -168,16 +168,23 @@ class DualEncoder(nn.Module):
         )
 
     def _multi_chunk_emb(self, encoder, head, input_ids, attention_mask,
-                         deterministic):
+                         deterministic, capture_layer=None):
         """[B, C*L] -> per-chunk embeddings [B, C, D] (chunks folded into batch,
-        the layout the reference already uses, ANCE/model/models.py:369-386)."""
+        the layout the reference already uses, ANCE/model/models.py:369-386).
+        With capture_layer the captured hiddens stay chunk-folded
+        [B*C, L, H] — the layout a top-of-stack re-run consumes."""
         B, full = input_ids.shape
         L = self.cfg.chunk_len
         C = full // L
         ids = input_ids.reshape(B * C, L)
         mask = attention_mask.reshape(B * C, L)
-        e = self._emb(encoder, head, ids, mask, None, deterministic)
-        return e.reshape(B, C, -1)
+        out = self._emb(
+            encoder, head, ids, mask, None, deterministic, capture_layer
+        )
+        if capture_layer is not None:
+            e, hidden = out
+            return e.reshape(B, C, -1), hidden
+        return out.reshape(B, C, -1)
 
     def __call__(self, input_ids, attention_mask, deterministic: bool = True):
         # default apply: query embedding (used for init)

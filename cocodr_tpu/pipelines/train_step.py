@@ -56,11 +56,11 @@ class TrainStepConfig:
     dro: Optional[DroConfig] = None
     max_grad_norm: float = 1.0  # 0 disables clipping
     idro_last_k_layers: int = 3  # base: last 3; large: last 2 (dro_loss.py:179-183)
-    # Force the full-depth per-group pullback instead of the top-K re-run
-    # (debug / numerics escape hatch; ~2.5x slower at G=10 — see
-    # scripts/idro_cost_probe.py). Equivalence is tested in
-    # tests/test_train_step.py::test_idro_fast_group_pass_matches_full_depth.
-    idro_full_depth_group_pass: bool = False
+    # Force the lane group pass (G vmapped top-K backward lanes) instead of
+    # the Gram fast path (debug / numerics escape hatch; O(G) vs O(1) in
+    # group count — see scripts/idro_cost_probe.py). Equivalence is tested
+    # in tests/test_train_step.py::test_idro_group_pass_variants_match.
+    idro_lane_group_pass: bool = False
 
 
 def _embed_triplet(model, params, batch, dropout_rng=None):
@@ -233,57 +233,22 @@ def build_train_step(
         # forward, re-run ONLY the top K layers + pooling + head as a
         # separate K-length scan, and vjp that. Each group lane then pays a
         # K-layer backward.
+        assert bcfg is not None and 0 < K < bcfg.num_hidden_layers, (
+            "idro needs a DualEncoder model and 0 < idro_last_k_layers < L"
+        )
         fast_group_pass = (
-            bcfg is not None
-            and not cfg.idro_full_depth_group_pass
+            not cfg.idro_lane_group_pass
             and not decfg.two_tower
             and not decfg.chunk_len
             and decfg.pooling in ("cls", "mean")
-            and 0 < K < bcfg.num_hidden_layers
         )
-        if not fast_group_pass:
-
-            def step(state: TrainState, batch, dropout_rng=None):
-                # Fallback (two-tower / chunked / pooler configs): one
-                # linearization shared by the per-group pass and the
-                # training gradient, full-depth pullback per group.
-                def per_sample(p):
-                    q, a, b = _embed_triplet(model, p, batch, dropout_rng)
-                    losses, acc, _ = triplet_nll(q, a, b)
-                    return losses, jnp.mean(acc)
-
-                (losses, acc), pullback = jax.vjp(per_sample, state.params)
-
-                def pull_lastk(ct):
-                    (g,) = pullback((ct, jnp.zeros_like(acc)))
-                    enc = g["encoder"]["encoder"]["layers"]["layer"]
-                    return (
-                        jax.tree_util.tree_map(lambda x: x[-K:], enc),
-                    )
-
-                gg = per_group_grads(pull_lastk, batch["groups"], G)
-
-                robust, dstate, (gl, gc) = idro_loss(
-                    losses, batch["groups"], state.extra, cfg.dro, gg
-                )
-                h_pre = state.extra.h_fun
-                counts = jnp.maximum(gc, 1.0)
-                ct = jax.lax.stop_gradient(
-                    h_pre[batch["groups"]] / counts[batch["groups"]]
-                )
-                (grads,) = pullback((ct, jnp.zeros_like(acc)))
-                state = apply_updates(state, grads, dstate)
-                return state, {
-                    "loss": robust,
-                    "acc": acc,
-                    "group_losses": gl,
-                    "group_counts": gc,
-                }
-
-            return jax.jit(step)
-
         from cocodr_tpu.models.bert import BertEncoder, make_attention_bias
         from cocodr_tpu.models.dual_encoder import ProjectionHead, pool
+        if not fast_group_pass:
+            return _build_idro_lane_step(
+                model, cfg, apply_updates, BertEncoder, make_attention_bias,
+                ProjectionHead, pool,
+            )
 
         L = bcfg.num_hidden_layers
         # remat off: K layers of activations at B=64 fit easily, and lanes
@@ -435,3 +400,171 @@ def build_train_step(
         return jax.jit(step)
 
     raise ValueError(cfg.loss_kind)
+
+
+def _build_idro_lane_step(
+    model, cfg, apply_updates, BertEncoder, make_attention_bias,
+    ProjectionHead, pool,
+):
+    """iDRO lane group pass: capture each tower's layer-(L-K) activations,
+    re-run ONLY the top K layers (+ pooling + head, both detached like the
+    reference's last-k param selection, dro_loss.py:174-190), and vmap G
+    cotangent lanes through that short pullback (per_group_grads).
+
+    O(G) K-layer backwards — more compute than the Gram fast path at large
+    G, but each lane's graph is only K layers deep, so it compiles and
+    steps at the reference's published n_groups=50 where pulling G
+    cotangents through the FULL L-layer scan pullback does not compile
+    (docs/performance.md, iDRO section). This is the path for configs the
+    Gram pass can't serve: two-tower, multi-chunk, tanh-pooler pooling,
+    and per-rank (shard_map) training.
+    """
+    decfg = model.cfg
+    bcfg = decfg.bert
+    G, K, L = cfg.dro.n_groups, cfg.idro_last_k_layers, bcfg.num_hidden_layers
+    # dense ffn: the lane vmap batches cotangents, pallas FFN kernels don't
+    # lower under that vmap (same constraint as the Gram path's re-run)
+    top_cfg = dataclasses.replace(
+        bcfg, num_hidden_layers=K, remat=False, ffn_impl="dense"
+    )
+    top_stack = BertEncoder(top_cfg)
+    proj = ProjectionHead(bcfg, decfg.head_dim) if decfg.use_head else None
+    two_tower = decfg.two_tower
+    chunk_len = decfg.chunk_len
+    sg = jax.lax.stop_gradient
+
+    def step(state: TrainState, batch, dropout_rng=None):
+        det = dropout_rng is None
+        B = batch["q_ids"].shape[0]
+        # chunked iff the doc inputs are wider than one chunk (mirrors
+        # DualEncoder.body_emb's dispatch)
+        C = (
+            batch["pos_ids"].shape[1] // chunk_len
+            if chunk_len and batch["pos_ids"].shape[1] > chunk_len
+            else 0
+        )
+
+        def chunk_masks():
+            pos_cm = batch["pos_mask"].reshape(B, C, -1).sum(-1) > 0
+            neg_cm = batch["neg_mask"].reshape(B, C, -1).sum(-1) > 0
+            return pos_cm, neg_cm
+
+        def per_sample(p):
+            def apply(ids, mask, method, tower):
+                rngs = (
+                    None if det
+                    else {"dropout": jax.random.fold_in(dropout_rng, tower)}
+                )
+                return model.apply(
+                    {"params": p}, ids, mask, deterministic=det,
+                    method=method, rngs=rngs, capture_layer=L - K,
+                )
+
+            q, hq = apply(batch["q_ids"], batch["q_mask"],
+                          model.query_emb, 0)
+            a, ha = apply(batch["pos_ids"], batch["pos_mask"],
+                          model.body_emb, 1)
+            b, hb = apply(batch["neg_ids"], batch["neg_mask"],
+                          model.body_emb, 2)
+            if C:
+                pos_cm, neg_cm = chunk_masks()
+                losses, acc, _ = triplet_nll_multichunk(
+                    q, a, pos_cm, b, neg_cm
+                )
+            else:
+                losses, acc, _ = triplet_nll(q, a, b)
+            return losses, (jnp.mean(acc), (hq, ha, hb))
+
+        losses, pullback, (acc, hmids) = jax.vjp(
+            per_sample, state.params, has_aux=True
+        )
+
+        def lastk_of(tree):
+            enc = tree["encoder"]["layers"]["layer"]
+            return sg(jax.tree_util.tree_map(lambda x: x[-K:], enc))
+
+        diff = {"q": lastk_of(state.params["encoder"])}
+        if two_tower:
+            diff["d"] = lastk_of(state.params["doc_encoder"])
+
+        def pooler_p(key):
+            return (
+                sg(state.params[key]["pooler"])
+                if decfg.pooling == "pooler" else None
+            )
+
+        def head_p(key):
+            return sg(state.params[key]) if proj is not None else None
+
+        pool_q, head_q = pooler_p("encoder"), head_p("head")
+        pool_d = pooler_p("doc_encoder") if two_tower else pool_q
+        head_d = head_p("doc_head") if (two_tower and proj) else head_q
+
+        def top_emb(p_lastk, h_mid, mask, tower, pl, hd):
+            # dropout note: the top re-run draws fresh masks (a K-length
+            # scan splits keys differently from the last K slots of the
+            # L-length scan); group grads are a stochastic estimate either
+            # way — the h_fun update they feed is an EMA
+            rngs = (
+                None if det
+                else {"dropout": jax.random.fold_in(
+                    jax.random.fold_in(dropout_rng, tower), 7
+                )}
+            )
+            last, _ = top_stack.apply(
+                {"params": {"layers": {"layer": p_lastk}}},
+                h_mid, make_attention_bias(mask),
+                deterministic=det, rngs=rngs,
+            )
+            if decfg.pooling == "pooler":
+                e = jnp.tanh(
+                    last[:, 0] @ pl["dense"]["kernel"] + pl["dense"]["bias"]
+                )
+            else:
+                e = pool(last, mask, decfg.pooling)
+            if proj is not None:
+                e = proj.apply({"params": hd}, e)
+            return e
+
+        def top_losses(d):
+            qlk = d["q"]
+            dlk = d["d"] if two_tower else d["q"]
+            q = top_emb(qlk, hmids[0], batch["q_mask"], 0, pool_q, head_q)
+            if C:
+                pm = batch["pos_mask"].reshape(B * C, -1)
+                nm = batch["neg_mask"].reshape(B * C, -1)
+                a = top_emb(dlk, hmids[1], pm, 1, pool_d, head_d)
+                b = top_emb(dlk, hmids[2], nm, 2, pool_d, head_d)
+                a = a.reshape(B, C, -1)
+                b = b.reshape(B, C, -1)
+                pos_cm, neg_cm = chunk_masks()
+                l, _, _ = triplet_nll_multichunk(q, a, pos_cm, b, neg_cm)
+            else:
+                a = top_emb(dlk, hmids[1], batch["pos_mask"], 1,
+                            pool_d, head_d)
+                b = top_emb(dlk, hmids[2], batch["neg_mask"], 2,
+                            pool_d, head_d)
+                l, _, _ = triplet_nll(q, a, b)
+            return l
+
+        _, pull_top = jax.vjp(top_losses, diff)
+        gg = per_group_grads(pull_top, batch["groups"], G)
+
+        robust, dstate, (gl, gc) = idro_loss(
+            losses, batch["groups"], state.extra, cfg.dro, gg
+        )
+        h_pre = state.extra.h_fun
+        counts = jnp.maximum(gc, 1.0)
+        ct = jax.lax.stop_gradient(
+            h_pre[batch["groups"]] / counts[batch["groups"]]
+        )
+        (grads,) = pullback(ct)
+        state = apply_updates(state, grads, dstate)
+        return state, {
+            "loss": robust,
+            "acc": acc,
+            "group_losses": gl,
+            "group_counts": gc,
+        }
+
+    return jax.jit(step)

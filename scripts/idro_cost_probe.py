@@ -19,7 +19,7 @@ from cocodr_tpu.utils.train_state import TrainState
 
 
 def make(loss_kind, n_groups=10, last_k=3, remat=True, batch=64, seq=128,
-         full_depth=False):
+         lane=False):
     cfg = dataclasses.replace(BertConfig(), dtype=jnp.bfloat16, remat=remat)
     model = build_dual_encoder("rdot_nll_condenser", cfg)
     ids = jnp.ones((batch, seq), jnp.int32)
@@ -32,7 +32,7 @@ def make(loss_kind, n_groups=10, last_k=3, remat=True, batch=64, seq=128,
         dro = DroConfig(n_groups=n_groups)
         scfg = TrainStepConfig(
             loss_kind="idro", dro=dro, idro_last_k_layers=last_k,
-            idro_full_depth_group_pass=full_depth,
+            idro_lane_group_pass=lane,
         )
         extra = idro_init(dro)
     state = jax.device_put(TrainState.create(params, tx, extra=extra))
@@ -68,7 +68,7 @@ if __name__ == "__main__":
         ("idro G=50 K=3 gram (ref n_groups)",
          dict(loss_kind="idro", n_groups=50)),
         ("idro G=50 K=3 full-depth (old)",
-         dict(loss_kind="idro", n_groups=50, full_depth=True)),
+         dict(loss_kind="idro", n_groups=50, lane=True)),
     ]:
         try:
             bench(tag, *make(**kw))

@@ -166,10 +166,11 @@ def test_nll_multichunk_trains_end_to_end():
 
 
 @pytest.mark.quick
-def test_idro_fast_group_pass_matches_full_depth():
-    """The top-K re-run group pass (capture layer L-K, K-layer scan) must
-    reproduce the full-depth per-group pullback exactly in deterministic
-    mode: same robust loss, same h_fun update, same updated params."""
+def test_idro_group_pass_variants_match():
+    """The Gram fast path (per-sample top-K re-run, one backward) and the
+    lane group pass (G vmapped top-K backward lanes) must agree exactly in
+    deterministic mode: same robust loss, same h_fun update, same updated
+    params."""
     dro = DroConfig(n_groups=4)
     bert = BertConfig.tiny()
     model = build_dual_encoder("rdot_nll", bert)
@@ -193,13 +194,13 @@ def test_idro_fast_group_pass_matches_full_depth():
     tx = lamb(warmup_linear(5e-4, 2, 100))
 
     results = []
-    for full_depth in (False, True):
+    for lane in (False, True):
         state = TrainState.create(params, tx, extra=idro_init(dro))
         step = build_train_step(
             model, tx,
             TrainStepConfig(
                 loss_kind="idro", dro=dro, idro_last_k_layers=1,
-                idro_full_depth_group_pass=full_depth,
+                idro_lane_group_pass=lane,
             ),
         )
         state, m = step(state, batch)
@@ -218,3 +219,87 @@ def test_idro_fast_group_pass_matches_full_depth():
         ),
         fast_s.params, full_s.params,
     )
+
+
+@pytest.mark.slow
+def test_idro_lane_g50_two_tower_steps_on_mesh():
+    """The reference's published n_groups=50 (ANCE/README.md
+    hyperparameters) must compile and STEP for configs the Gram fast path
+    can't serve. Two-tower (dpr, tanh pooler) exercises the lane group
+    pass — G vmapped top-K backward lanes over BOTH towers' last-K
+    params — under the 8-device DP mesh."""
+    from cocodr_tpu.core.mesh import MeshConfig, create_mesh
+    from cocodr_tpu.parallel.sharded_train import shard_train_init
+
+    dro = DroConfig(n_groups=50)
+    bert = BertConfig.tiny()
+    model = build_dual_encoder("dpr", bert)
+    B, SQ, S = 16, 6, 8
+    rng = np.random.RandomState(2)
+    batch = {
+        "q_ids": jnp.asarray(rng.randint(1, 100, (B, SQ)).astype(np.int32)),
+        "q_mask": jnp.ones((B, SQ), jnp.int32),
+        "pos_ids": jnp.asarray(rng.randint(1, 100, (B, S)).astype(np.int32)),
+        "pos_mask": jnp.ones((B, S), jnp.int32),
+        "neg_ids": jnp.asarray(rng.randint(1, 100, (B, S)).astype(np.int32)),
+        "neg_mask": jnp.ones((B, S), jnp.int32),
+        "groups": jnp.asarray(rng.randint(0, 50, B)),
+    }
+    params = model.init(
+        jax.random.PRNGKey(0), batch["pos_ids"][:1], batch["pos_mask"][:1],
+        method=lambda m, i, a: (m.query_emb(i, a), m.body_emb(i, a)),
+    )["params"]
+    tx = lamb(warmup_linear(5e-4, 2, 100))
+    mesh = create_mesh(MeshConfig(), jax.devices()[:8])
+    state, put_batch = shard_train_init(
+        mesh, params, tx, extra=idro_init(dro)
+    )
+    step = build_train_step(
+        model, tx,
+        TrainStepConfig(loss_kind="idro", dro=dro, idro_last_k_layers=1),
+    )
+    with mesh:
+        state, m = step(state, put_batch(batch))
+        state, m = step(state, put_batch(batch))
+    assert np.isfinite(float(m["loss"]))
+    h = np.asarray(state.extra.h_fun)
+    assert h.shape == (50,) and np.isfinite(h).all()
+    assert int(state.step) == 2
+
+
+@pytest.mark.slow
+def test_idro_lane_multichunk_steps():
+    """iDRO with the multi-chunk long-doc model: the lane pass re-runs the
+    chunk-folded doc towers through the top-K stack and scores with the
+    max-over-chunks NLL (ANCE/model/models.py:307-399)."""
+    dro = DroConfig(n_groups=5)
+    bert = BertConfig.tiny()
+    model = build_dual_encoder("rdot_nll_multi_chunk", bert, base_len=8)
+    B, SQ, S, Cn = 4, 6, 16, 2  # docs arrive as 2 chunks of 8
+    rng = np.random.RandomState(3)
+    pos_mask = np.ones((B, S), np.int32)
+    pos_mask[0, 8:] = 0  # one doc with an all-pad second chunk
+    batch = {
+        "q_ids": jnp.asarray(rng.randint(1, 100, (B, SQ)).astype(np.int32)),
+        "q_mask": jnp.ones((B, SQ), jnp.int32),
+        "pos_ids": jnp.asarray(rng.randint(1, 100, (B, S)).astype(np.int32)),
+        "pos_mask": jnp.asarray(pos_mask),
+        "neg_ids": jnp.asarray(rng.randint(1, 100, (B, S)).astype(np.int32)),
+        "neg_mask": jnp.ones((B, S), jnp.int32),
+        "groups": jnp.asarray(rng.randint(0, 5, B)),
+    }
+    params = model.init(
+        jax.random.PRNGKey(0), batch["q_ids"][:1], batch["q_mask"][:1]
+    )["params"]
+    tx = lamb(warmup_linear(5e-4, 2, 100))
+    state = TrainState.create(params, tx, extra=idro_init(dro))
+    step = build_train_step(
+        model, tx,
+        TrainStepConfig(loss_kind="idro", dro=dro, idro_last_k_layers=1),
+    )
+    losses = []
+    for _ in range(3):
+        state, m = step(state, batch)
+        losses.append(float(m["loss"]))
+    assert np.isfinite(losses).all()
+    assert np.isfinite(np.asarray(state.extra.h_fun)).all()
