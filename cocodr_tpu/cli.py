@@ -396,6 +396,8 @@ def cmd_serve(args):
             fast_search=args.fast,
             quantize_int8=args.int8,
             exact_fp32=args.exact_fp32,
+            ivf=args.search_method == "ivf",
+            ivf_nprobe=args.ivf_nprobe,
         ),
         mesh=_build_mesh(args),
     )
@@ -1171,6 +1173,14 @@ def main(argv=None):
     sp.add_argument("--int8-encode", action="store_true",
                     help="W8A8 int8 FFN blocks for query encoding")
     sp.add_argument("--exact-fp32", action="store_true")
+    sp.add_argument("--search-method", default="auto",
+                    choices=["auto", "ivf"],
+                    help="ivf: clustered approximate search for corpora "
+                         "past the int8 ceiling (>16.4M docs/chip); "
+                         "recall/latency curve in docs/performance.md")
+    sp.add_argument("--ivf-nprobe", type=int, default=32,
+                    help="--search-method ivf: clusters probed per query "
+                         "(recall knob)")
     sp.add_argument("--queries", default=None,
                     help="qid\\ttext TSV: bulk mode -> TREC run via the "
                          "pipelined search_stream (no REPL)")

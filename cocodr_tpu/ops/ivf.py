@@ -14,14 +14,17 @@ block-granular and matmul-first:
   * Probe: score queries against centroids (one small matmul), take
     top-`nprobe` clusters per query. For score(q,d) = q·(c + r) the
     first-order cluster ranking is q·c, so probing maximizes the MIPS
-    objective directly (no L2 detour).
+    objective directly (no L2 detour); docs are assigned with the SAME
+    inner-product metric (FAISS IP-IVF quantizer semantics).
   * Invert ON HOST: turn the [Q, nprobe] probe table into fixed-shape
     scoring TASKS (block_idx, query-group of `q_group` queries). The
-    inversion is O(Q·nprobe) integer work (~ms); shapes are padded to
-    power-of-two buckets so recompilation stops after the first call.
-  * Score ON DEVICE: one batched einsum [T,g,D]x[T,m,D] -> [T,g,m] (MXU),
-    pad rows masked to -inf, local top-k per (task, slot), then a
-    per-query gather of its candidate lists and one final top-k merge.
+    inversion is vectorized numpy segment work (one sort over Q·nprobe
+    pairs, a loop only over unique probed centroids); shapes are padded
+    to power-of-two buckets so recompilation stops after the first call.
+  * Score ON DEVICE: batched einsum [T,g,D]x[T,m,D] -> [T,g,m] (MXU) over
+    bounded task SLABS (the gathered block operand stays under a fixed
+    HBM budget), pad rows masked to -inf, local top-k per (task, slot),
+    then a per-query gather of its candidate lists and a final top-k.
 
 Every block is read at most once per query-group that probes it, so HBM
 traffic approaches (probed fraction of corpus) x bytes — the IVF win on
@@ -51,6 +54,19 @@ def _pow2_bucket(n: int, floor: int = 16) -> int:
     while b < n:
         b *= 2
     return b
+
+
+def _assign_chunk(x, c):
+    """Doc -> cluster assignment by INNER PRODUCT — the same metric as
+    query-time probing, like FAISS's IP IVF (quantizer = IndexFlatIP).
+    With L2-argmin assignment, high-norm/high-IP docs strand in clusters
+    that IP probing ranks low, degrading recall at small nprobe on the
+    unnormalized rdot embeddings this repo targets (measured on
+    heavy-tailed norms: recall@20 0.926 -> 0.969 at nprobe=8, 0.864 ->
+    0.925 at nprobe=4 — scripts/ab_ivf_assign_metric.py)."""
+    x = x.astype(jnp.float32)
+    ip = jnp.matmul(x, c.T, preferred_element_type=jnp.float32)
+    return jnp.argmax(ip, axis=1)
 
 
 @dataclasses.dataclass
@@ -98,14 +114,18 @@ def build_ivf_index(
         dtype = corpus.dtype
     # device-resident build needs corpus + blocks co-resident (~2.2x
     # corpus bytes with padding); past ~half of one v5e's HBM, stage the
-    # block gather through host numpy instead (slower, no HBM spike)
+    # block gather through host numpy instead (slower, no HBM spike).
+    # The guard applies to device-resident corpora too: a large jax.Array
+    # input is pulled back to host once rather than doubling HBM.
     n, d = corpus.shape
     itemsize = jnp.zeros((), dtype).dtype.itemsize
     host_stage = n * d * itemsize * 2.3 > 12 * (1 << 30)
-    if isinstance(corpus, jax.Array):
-        corpus_dev = corpus.astype(dtype)
-    elif host_stage:
+    if host_stage:
+        if isinstance(corpus, jax.Array):
+            corpus = np.asarray(corpus)
         corpus_dev = None
+    elif isinstance(corpus, jax.Array):
+        corpus_dev = corpus if corpus.dtype == dtype else corpus.astype(dtype)
     else:
         corpus_dev = jax.device_put(jnp.asarray(np.asarray(corpus), dtype))
     if n_clusters is None:
@@ -126,18 +146,9 @@ def build_ivf_index(
         n_iter=kmeans_iters, seed=seed,
     )
 
-    # assign the full corpus in device-side chunks ([chunk, C] f32 distance
+    # assign the full corpus in device-side chunks ([chunk, C] f32 score
     # matrix stays ~256MB); bf16 corpus rounding only fuzzes bucket
     # boundaries — correctness never depends on the assignment
-    def _assign_chunk(x, c):
-        x = x.astype(jnp.float32)
-        d2 = (
-            jnp.sum(jnp.square(x), 1, keepdims=True)
-            - 2.0 * jnp.matmul(x, c.T, preferred_element_type=jnp.float32)
-            + jnp.sum(jnp.square(c), 1)[None, :]
-        )
-        return jnp.argmin(d2, axis=1)
-
     assign = jax.jit(_assign_chunk)
     chunk = max(8, (1 << 26) // max(n_clusters, 1))
     chunk = _ceil_to(min(chunk, n), 8)
@@ -215,45 +226,73 @@ def _invert_probes(
 ) -> Tuple[np.ndarray, np.ndarray, np.ndarray, int]:
     """Host inversion: probe table -> (task_block [T], task_queries [T, g],
     qmap [Q, L]) where qmap lists each query's (task*g + slot) candidate
-    rows (-1 pad). Pure integer work, O(Q*nprobe*avg_blocks)."""
+    rows (-1 pad).
+
+    Vectorized: one stable sort groups the [Q*nprobe] probe pairs by
+    centroid; the python loop runs only over UNIQUE probed centroids
+    (<= n_clusters, ~1k at 1M docs) with numpy segment ops inside —
+    vs the naive O(Q*nprobe*blocks) per-pair interpreter loop
+    (~hundreds of ms per 4k-query chunk on this 1-core host)."""
     n_q, nprobe = probes.shape
-    # queries per centroid
-    per_c: dict = {}
-    for q in range(n_q):
-        for c in probes[q]:
-            per_c.setdefault(int(c), []).append(q)
-    task_block, task_queries = [], []
-    q_lists: list = [[] for _ in range(n_q)]
-    for c, qs in per_c.items():
-        rows = centroid_block_rows[c]
-        rows = rows[rows >= 0]
-        for g0 in range(0, len(qs), q_group):
-            grp = qs[g0: g0 + q_group]
-            for blk in rows:
-                t = len(task_block)
-                task_block.append(int(blk))
-                task_queries.append(grp + [0] * (q_group - len(grp)))
-                for slot, q in enumerate(grp):
-                    q_lists[q].append(t * q_group + slot)
-    n_lists = max(len(l) for l in q_lists)
-    qmap = np.full((n_q, n_lists), -1, np.int32)
-    for q, l in enumerate(q_lists):
-        qmap[q, : len(l)] = l
-    return (
-        np.asarray(task_block, np.int32),
-        np.asarray(task_queries, np.int32),
-        qmap,
-        len(task_block),
+    g = q_group
+    flat_c = probes.ravel().astype(np.int64)
+    flat_q = np.repeat(np.arange(n_q, dtype=np.int64), nprobe)
+    order = np.argsort(flat_c, kind="stable")
+    sq = flat_q[order]
+    uniq, u_start, u_count = np.unique(
+        flat_c[order], return_index=True, return_counts=True
     )
 
+    task_block_parts, task_queries_parts = [], []
+    entry_q_parts, entry_row_parts = [], []
+    t0 = 0
+    for c, s, cnt in zip(uniq, u_start, u_count):
+        qs = sq[s: s + cnt]
+        rows = centroid_block_rows[c]
+        rows = rows[rows >= 0]
+        b_c = len(rows)
+        n_g = -(-int(cnt) // g)
+        qs_pad = np.concatenate([qs, np.zeros(n_g * g - cnt, np.int64)])
+        # task t0 + j*b_c + i scores group j against block rows[i]
+        task_block_parts.append(np.tile(rows, n_g))
+        task_queries_parts.append(
+            np.repeat(qs_pad.reshape(n_g, g), b_c, axis=0)
+        )
+        # pair (query at rank r in this centroid) -> group j = r//g,
+        # slot = r%g, candidate rows (t0 + j*b_c + [0..b_c))*g + slot
+        r = np.arange(cnt)
+        base = (t0 + (r // g) * b_c)[:, None] + np.arange(b_c)[None, :]
+        entry_row_parts.append((base * g + (r % g)[:, None]).ravel())
+        entry_q_parts.append(np.repeat(qs, b_c))
+        t0 += n_g * b_c
+    n_t = t0
+    if n_t == 0:
+        return (
+            np.zeros(0, np.int32), np.zeros((0, g), np.int32),
+            np.full((n_q, 1), -1, np.int32), 0,
+        )
+    task_block = np.concatenate(task_block_parts).astype(np.int32)
+    task_queries = np.concatenate(task_queries_parts).astype(np.int32)
+    entry_q = np.concatenate(entry_q_parts)
+    entry_row = np.concatenate(entry_row_parts)
+    # bucket entries by query -> qmap [Q, L]
+    counts_q = np.bincount(entry_q, minlength=n_q)
+    qmap = np.full((n_q, int(counts_q.max())), -1, np.int32)
+    eorder = np.argsort(entry_q, kind="stable")
+    eq, er = entry_q[eorder], entry_row[eorder]
+    seg_start = np.concatenate([[0], np.cumsum(counts_q)[:-1]])
+    pos = np.arange(len(eq)) - seg_start[eq]
+    qmap[eq, pos] = er
+    return task_block, task_queries, qmap, n_t
 
-@functools.partial(jax.jit, static_argnames=("k",))
-def _score_and_merge(
-    queries, blocks, block_ids, task_block, task_queries, qmap, k: int
-):
-    """[T] tasks -> per-(task,slot) local top-k -> per-query merged top-k.
-    All shapes static; pad tasks point at block 0 with all-pad qmap rows,
-    so their scores never reach a real query's merge."""
+
+def _score_one_slab(queries, blocks, block_ids, task_block, task_queries,
+                    k: int):
+    """One task slab: gather blocks, score, per-(task,slot) local top-k.
+    Returns (flat_v, flat_i) [T_slab*g, kk]. The slab bound keeps the
+    gathered [T_slab, m, D] operand to a fixed HBM budget — an unbounded
+    T materializes (tasks x block) bytes, ~13GB at mining scale
+    (q_chunk=4096, nprobe=32, 1M docs)."""
     q = queries[task_queries]                      # [T, g, D]
     d = blocks[task_block]                         # [T, m, D]
     s = jnp.einsum(
@@ -267,8 +306,30 @@ def _score_and_merge(
         jnp.broadcast_to(ids[:, None, :], s.shape), li, axis=-1
     )                                              # [T, g, kk]
     t, g = lv.shape[0], lv.shape[1]
-    flat_v = lv.reshape(t * g, kk)
-    flat_i = lids.reshape(t * g, kk)
+    return lv.reshape(t * g, kk), lids.reshape(t * g, kk)
+
+
+@functools.partial(jax.jit, static_argnames=("k",))
+def _score_and_merge(queries, blocks, block_ids, task_block, task_queries,
+                     qmap, k: int):
+    """ONE device program for the whole post-probe search: a lax.scan over
+    task slabs (each iteration gathers one bounded block operand) followed
+    by the per-query merge. A host loop over slabs pays a dispatch round
+    trip per slab — ~250ms each over the axon tunnel, which dominated the
+    whole search (scripts/curve_ivf_serve.py history); the scan keeps the
+    slab memory bound at one dispatch total.
+
+    task_block [ns, slab], task_queries [ns, slab, g]; pad tasks point at
+    block 0 with no qmap row referencing them."""
+    def body(_, inp):
+        tb, tq = inp
+        return None, _score_one_slab(queries, blocks, block_ids, tb, tq, k)
+
+    _, (fv, fi) = jax.lax.scan(body, None, (task_block, task_queries))
+    ns, rows, kk = fv.shape
+    flat_v = fv.reshape(ns * rows, kk)
+    flat_i = fi.reshape(ns * rows, kk)
+    # per-query gather of its candidate rows and one final top-k
     safe = jnp.maximum(qmap, 0)                    # [Q, L]
     cv = flat_v[safe]                              # [Q, L, kk]
     ci = flat_i[safe]
@@ -276,9 +337,21 @@ def _score_and_merge(
     n_q = qmap.shape[0]
     cv = cv.reshape(n_q, -1)
     ci = ci.reshape(n_q, -1)
-    vals, pos = jax.lax.top_k(cv, k)
+    vals, pos = jax.lax.top_k(cv, min(k, cv.shape[1]))
     out_ids = jnp.take_along_axis(ci, pos, axis=1)
+    if vals.shape[1] < k:  # fewer probed candidates than k
+        pad = k - vals.shape[1]
+        vals = jnp.pad(vals, ((0, 0), (0, pad)), constant_values=-jnp.inf)
+        out_ids = jnp.pad(out_ids, ((0, 0), (0, pad)), constant_values=-1)
     return vals, out_ids
+
+
+def _task_slab(index: IvfIndex, budget_bytes: int = 192 * (1 << 20)) -> int:
+    """Tasks per _score_tasks call such that the gathered [T, m, D] block
+    operand stays under the HBM budget."""
+    m, d = index.block_size, index.blocks.shape[-1]
+    per_task = m * d * index.blocks.dtype.itemsize
+    return max(64, _pow2_bucket(max(64, budget_bytes // per_task)) // 2)
 
 
 def ivf_topk(
@@ -286,27 +359,37 @@ def ivf_topk(
     index: IvfIndex,
     k: int,
     nprobe: int = 32,
-    q_group: int = 16,
+    q_group: int = 64,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Approximate top-k over an IvfIndex. Returns (vals [Q, k] f32,
     ids [Q, k] int32; ids may be -1 if fewer than k docs were probed).
 
     The probe table comes back to host (Q*nprobe int32 — ~100KB), the
-    inversion builds fixed-shape tasks, and one jitted call scores and
-    merges. Task/list counts are padded to power-of-two buckets so the
-    jit cache stays warm across calls."""
+    inversion builds fixed-shape tasks, and jitted calls score task slabs
+    (bounded HBM per slab) then merge per query. Slab/list shapes are
+    padded to fixed buckets so the jit cache stays warm across calls."""
     queries = jnp.asarray(queries)
+    if queries.shape[0] == 0:
+        return (
+            jnp.zeros((0, k), jnp.float32), jnp.zeros((0, k), jnp.int32)
+        )
+    # larger groups -> fewer tasks -> fewer re-reads of a popular
+    # centroid's blocks (HBM) — but never grossly over-pad tiny batches
+    q_group = min(q_group, _pow2_bucket(int(queries.shape[0]), floor=8))
     nprobe = min(nprobe, index.n_clusters)
     probes = np.asarray(_probe(queries, index.centroids, nprobe))
     task_block, task_queries, qmap, n_t = _invert_probes(
         probes, index.centroid_block_rows, q_group
     )
-    tb = _pow2_bucket(n_t)
-    pad_t = tb - n_t
-    if pad_t:
-        task_block = np.concatenate([task_block, np.zeros(pad_t, np.int32)])
+    slab = min(_task_slab(index), _pow2_bucket(n_t))
+    n_slabs = -(-n_t // slab)
+    ns = _pow2_bucket(n_slabs, floor=1)  # bucket the scan length
+    pad = ns * slab - n_t
+    if pad:  # pad tasks score block 0 for query 0; no qmap row points at
+        # them (qmap indexes t*g+slot with t < n_t)
+        task_block = np.concatenate([task_block, np.zeros(pad, np.int32)])
         task_queries = np.concatenate(
-            [task_queries, np.zeros((pad_t, q_group), np.int32)]
+            [task_queries, np.zeros((pad, q_group), np.int32)]
         )
     lb = _pow2_bucket(qmap.shape[1], floor=8)
     if lb > qmap.shape[1]:
@@ -318,8 +401,8 @@ def ivf_topk(
         queries.astype(index.blocks.dtype),
         index.blocks,
         index.block_ids,
-        jnp.asarray(task_block),
-        jnp.asarray(task_queries),
+        jnp.asarray(task_block.reshape(ns, slab)),
+        jnp.asarray(task_queries.reshape(ns, slab, q_group)),
         jnp.asarray(qmap),
         k,
     )
@@ -333,11 +416,15 @@ def ivf_topk_chunked(
     k: int,
     nprobe: int = 32,
     q_chunk: int = 4096,
-    q_group: int = 16,
+    q_group: int = 64,
 ) -> Tuple[np.ndarray, np.ndarray]:
     """Host loop over query chunks (the mining pipelines search 100k+
     queries per round; per-chunk state stays bounded). Returns numpy."""
     queries = np.asarray(queries)
+    if len(queries) == 0:
+        return (
+            np.zeros((0, k), np.float32), np.zeros((0, k), np.int32)
+        )
     vals, ids = [], []
     for s in range(0, len(queries), q_chunk):
         v, i = ivf_topk(

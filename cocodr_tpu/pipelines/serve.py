@@ -42,6 +42,17 @@ class ServeConfig:
     # bf16/f32 (mesh capacity already scales linearly; combine the two
     # when per-chip HBM is the binding constraint by quantizing offline)
     quantize_int8: bool = False
+    # IVF clustered search (ops/ivf.py): for corpora past the int8
+    # ceiling (>16.4M 768-d docs/chip) — only the probed fraction of the
+    # corpus is read per query, trading recall (ivf_nprobe knob) for
+    # capacity/latency. Single-device, non-fp32 mode. The probe inversion
+    # runs on host, so serve calls are two dispatches (encode, score)
+    # instead of the fused one; see docs/performance.md for the
+    # nprobe -> recall/latency curve at 1M docs.
+    ivf: bool = False
+    ivf_nprobe: int = 32
+    ivf_clusters: Optional[int] = None
+    ivf_block_size: int = 512
 
 
 class RetrievalService:
@@ -66,6 +77,7 @@ class RetrievalService:
         self.mesh = None
         self._sharded_search = None
         self._programs = {}
+        self.ivf_index = None
         # true corpus size — self.corpus may carry pad rows (sharded mode
         # pads to a multiple of the data axis); report THIS externally
         self.n_docs = int(corpus_emb.shape[0])
@@ -76,7 +88,18 @@ class RetrievalService:
                 self.mesh = mesh
                 self._init_sharded(model, params, corpus_emb, mesh)
                 return
-        if cfg.quantize_int8 and not cfg.exact_fp32:
+        if cfg.ivf and not cfg.exact_fp32:
+            from cocodr_tpu.ops.ivf import build_ivf_index
+
+            self.ivf_index = build_ivf_index(
+                np.asarray(corpus_emb),
+                n_clusters=cfg.ivf_clusters,
+                block_size=cfg.ivf_block_size,
+                dtype=jnp.bfloat16,
+            )
+            self.corpus = None
+            self.dim_scale = None
+        elif cfg.quantize_int8 and not cfg.exact_fp32:
             from cocodr_tpu.ops.pallas_mips import quantize_corpus_int8
 
             c_i8, dim_scale = quantize_corpus_int8(jnp.asarray(corpus_emb))
@@ -247,9 +270,14 @@ class RetrievalService:
     def search(self, queries: List[str], top_k: Optional[int] = None
                ) -> Tuple[np.ndarray, list]:
         """-> (scores [Q, k], ids [Q, k] — external doc ids if provided)."""
-        nq, handles = self._dispatch(
-            list(queries), top_k or self.cfg.top_k
+        return self.collect(
+            self.dispatch(list(queries), top_k or self.cfg.top_k)
         )
+
+    def collect(self, pending) -> Tuple[np.ndarray, list]:
+        """Block on a dispatch() handle and fan results out (one host
+        readback round trip)."""
+        nq, handles = pending
         vals, idx = jax.device_get(handles)
         return self._external(vals, idx, nq)
 
@@ -262,9 +290,11 @@ class RetrievalService:
             ext = idx.tolist()
         return vals, ext
 
-    def _dispatch(self, queries: List[str], k: int):
-        """Enqueue one query batch; returns (nq, device result handles)
-        without blocking (jax dispatch is async)."""
+    def dispatch(self, queries: List[str], k: int):
+        """Enqueue one query batch; returns an opaque pending handle
+        without blocking (jax dispatch is async). Pass to collect() —
+        callers that keep several dispatches in flight (search_stream,
+        the HTTP batcher) overlap device work with readback."""
         nq = len(queries)
         pad = self._bucket(nq) - nq
         ids, mask = self._tokenize(queries + [""] * pad)
@@ -275,6 +305,18 @@ class RetrievalService:
                 self.corpus,
             )
             return nq, (vals[:, :k], idx[:, :k])
+        if self.ivf_index is not None:
+            from cocodr_tpu.ops.ivf import ivf_topk
+
+            emb = self._encode(
+                self.params, jnp.asarray(ids), jnp.asarray(mask)
+            )
+            # the probe inversion host-syncs on the [Q, nprobe] table, so
+            # the IVF path is two dispatches (not the fused program) and
+            # search_stream's in-flight depth partially serializes here
+            return nq, ivf_topk(
+                emb, self.ivf_index, k, nprobe=self.cfg.ivf_nprobe
+            )
         return nq, self._program(k)(
             self.params, jnp.asarray(ids), jnp.asarray(mask),
             self.corpus, self.dim_scale,
@@ -306,7 +348,7 @@ class RetrievalService:
             return out
 
         for queries in query_batches:
-            inflight.append(self._dispatch(list(queries), k))
+            inflight.append(self.dispatch(list(queries), k))
             if len(inflight) >= depth:
                 yield from drain()
         if inflight:

@@ -132,3 +132,62 @@ def test_index_covers_every_doc_once():
     flat_vecs = blocks.reshape(-1, 16)
     sel = flat_ids >= 0
     np.testing.assert_allclose(flat_vecs[sel], corpus[flat_ids[sel]])
+
+
+def test_empty_query_batch():
+    """Zero queries must return empty [0, k] arrays, not crash (the exact
+    paths already handle empty batches)."""
+    from cocodr_tpu.ops.ivf import ivf_topk_chunked
+
+    _, corpus, _ = _clustered(500, 16, 4)
+    idx = build_ivf_index(corpus, n_clusters=4, block_size=64,
+                          kmeans_iters=4)
+    v, i = ivf_topk(np.zeros((0, 16), np.float32), idx, 10)
+    assert v.shape == (0, 10) and i.shape == (0, 10)
+    v, i = ivf_topk_chunked(np.zeros((0, 16), np.float32), idx, 10)
+    assert v.shape == (0, 10) and i.shape == (0, 10)
+
+
+def test_recall_on_unnormalized_embeddings():
+    """MIPS recall on UNNORMALIZED vectors (the rdot regime): docs carry a
+    norm component so high-IP docs are not the L2-nearest ones — the
+    regime where assigning by L2 argmin strands high-norm docs. With
+    IP-metric assignment, small-nprobe recall must stay high."""
+    rng = np.random.RandomState(5)
+    n, d = 8000, 48
+    centers = rng.randn(32, d).astype(np.float32)
+    docs = (centers[rng.randint(0, 32, n)]
+            + 0.3 * rng.randn(n, d)).astype(np.float32)
+    # heavy-tailed norms: a random 5% of docs scaled up 3-6x
+    hot = rng.rand(n) < 0.05
+    docs[hot] *= rng.uniform(3.0, 6.0, size=(hot.sum(), 1)).astype(np.float32)
+    queries = (centers[rng.randint(0, 32, 64)]
+               + 0.3 * rng.randn(64, d)).astype(np.float32)
+    idx = build_ivf_index(docs, n_clusters=64, block_size=128,
+                          kmeans_iters=10)
+    _, ei = _numpy_topk(queries, docs, 20)
+    _, i = ivf_topk(queries, idx, 20, nprobe=8)
+    i = np.asarray(i)
+    recall = np.mean([len(set(i[q]) & set(ei[q])) / 20 for q in range(64)])
+    assert recall > 0.85, recall
+
+
+def test_slab_boundaries_match_single_call():
+    """Task-slab chunking (bounded HBM per _score_tasks call) must produce
+    the same results as an effectively unbounded slab."""
+    import cocodr_tpu.ops.ivf as ivf_mod
+
+    centers, corpus, rng = _clustered(4000, 32, 24)
+    queries = (centers[rng.randint(0, 24, 96)]
+               + 0.3 * rng.randn(96, 32)).astype(np.float32)
+    idx = build_ivf_index(corpus, n_clusters=24, block_size=64,
+                          kmeans_iters=6)
+    v1, i1 = ivf_topk(queries, idx, 25, nprobe=24)
+    orig = ivf_mod._task_slab
+    ivf_mod._task_slab = lambda *a, **k: 64  # force many slabs
+    try:
+        v2, i2 = ivf_topk(queries, idx, 25, nprobe=24)
+    finally:
+        ivf_mod._task_slab = orig
+    np.testing.assert_allclose(np.asarray(v1), np.asarray(v2), rtol=1e-5)
+    np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))

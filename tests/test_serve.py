@@ -264,3 +264,141 @@ def test_http_server_dynamic_batching(tmp_path):
         server.shutdown()
         batcher.stop()
         server.server_close()
+
+
+def test_retrieval_service_ivf_matches_exact(tmp_path):
+    """serve --search-method ivf: the IVF service at full probe returns
+    the same ranking as the exact service (same encode path, clustered
+    index instead of the flat corpus)."""
+    vocab = "[PAD] [UNK] [CLS] [SEP] [MASK] alpha beta gamma delta".split()
+    vp = tmp_path / "vocab.txt"
+    vp.write_text("\n".join(vocab))
+    tok = transformers.BertTokenizerFast(
+        vocab_file=str(vp), do_lower_case=True
+    )
+    bert = BertConfig.tiny()
+    model = build_dual_encoder("rdot_nll_condenser", bert)
+    params = model.init(
+        jax.random.PRNGKey(0), jnp.ones((1, 8), jnp.int32),
+        jnp.ones((1, 8), jnp.int32),
+    )["params"]
+    rng = np.random.RandomState(0)
+    corpus_emb = rng.randn(600, bert.hidden_size).astype(np.float32)
+
+    cfg_kw = dict(top_k=5, max_query_len=8, max_batch=8)
+    exact = RetrievalService(
+        model, params, tok, corpus_emb, cfg=ServeConfig(**cfg_kw)
+    )
+    ivf = RetrievalService(
+        model, params, tok, corpus_emb,
+        cfg=ServeConfig(ivf=True, ivf_nprobe=10_000, ivf_clusters=8,
+                        ivf_block_size=64, **cfg_kw),
+    )
+    assert ivf.ivf_index is not None and ivf.corpus is None
+    queries = ["alpha beta", "gamma", "delta alpha gamma"]
+    _, ei = exact.search(queries)
+    _, ii = ivf.search(queries)
+    for e_row, i_row in zip(ei, ii):
+        assert set(e_row) == set(i_row)
+    # search_stream works through the IVF path too
+    out = list(ivf.search_stream([queries[:2], queries[2:]]))
+    assert len(out) == 2 and set(out[0][1][0]) == set(ei[0])
+
+
+def _tiny_http_service(tmp_path):
+    vocab = ["[PAD]", "[UNK]", "[CLS]", "[SEP]", "[MASK]"] + [
+        f"w{i}" for i in range(50)
+    ]
+    (tmp_path / "vocab.txt").write_text("\n".join(vocab))
+    tok = transformers.BertTokenizerFast(
+        vocab_file=str(tmp_path / "vocab.txt")
+    )
+    cfg = BertConfig.tiny()
+    model = build_dual_encoder("rdot_nll_condenser", cfg)
+    ids = jnp.ones((1, 8), jnp.int32)
+    params = model.init(jax.random.PRNGKey(0), ids, ids)["params"]
+    corpus = np.random.default_rng(0).standard_normal(
+        (64, cfg.hidden_size)
+    ).astype(np.float32)
+    from cocodr_tpu.pipelines.serve import RetrievalService, ServeConfig
+
+    return RetrievalService(
+        model, params, tok, corpus,
+        cfg=ServeConfig(top_k=5, max_batch=8, max_query_len=16),
+    )
+
+
+def test_http_server_rejects_oversized_body(tmp_path):
+    """Content-Length above the cap -> 413 BEFORE the body is read."""
+    import http.client
+    import threading
+
+    from cocodr_tpu.pipelines.http_serve import make_server
+
+    svc = _tiny_http_service(tmp_path)
+    svc.search(["w1"])  # precompile
+    server, batcher = make_server(svc, port=0, max_body_bytes=1024)
+    port = server.server_address[1]
+    threading.Thread(target=server.serve_forever, daemon=True).start()
+    try:
+        c = http.client.HTTPConnection("127.0.0.1", port, timeout=30)
+        big = json.dumps({"query": "w1 " * 4000, "k": 5})
+        assert len(big) > 1024
+        c.request("POST", "/search", body=big,
+                  headers={"Content-Type": "application/json"})
+        r = c.getresponse()
+        assert r.status == 413
+        assert "exceeds" in json.loads(r.read())["error"]
+        # a normal request still works afterwards
+        c2 = http.client.HTTPConnection("127.0.0.1", port, timeout=60)
+        c2.request("POST", "/search",
+                   body=json.dumps({"query": "w1", "k": 3}))
+        r2 = c2.getresponse()
+        assert r2.status == 200
+        assert len(json.loads(r2.read())["hits"]) == 3
+    finally:
+        server.shutdown()
+        batcher.stop()
+        server.server_close()
+
+
+def test_http_batcher_saturated_queue_returns_503(tmp_path):
+    """A full bounded request queue surfaces as QueueFullError -> 503,
+    instead of buffering unboundedly."""
+    from cocodr_tpu.pipelines.http_serve import Batcher, QueueFullError
+
+    svc = _tiny_http_service(tmp_path)
+    svc.search(["w1"])  # precompile
+
+    class Blocked:
+        """Service stand-in whose dispatch never returns results."""
+        cfg = svc.cfg
+
+        def dispatch(self, texts, k):
+            import time as _t
+            _t.sleep(30)
+
+        def collect(self, pending):  # pragma: no cover
+            raise AssertionError
+
+    b = Batcher(Blocked(), window_s=0.01, depth=1, queue_max=2)
+    try:
+        import threading
+
+        # fill the queue from a background thread (submits block forever;
+        # its own QueueFullError is expected — swallow it in-thread)
+        def _fill():
+            try:
+                b.submit_many(["a"] * 12, 3, timeout=0.1)
+            except (QueueFullError, TimeoutError):
+                pass
+
+        t = threading.Thread(target=_fill, daemon=True)
+        t.start()
+        import time as _t
+
+        _t.sleep(0.5)  # let the queue fill and the dispatcher block
+        with pytest.raises(QueueFullError):
+            b.submit_many(["z"] * 4, 3, timeout=1.0)
+    finally:
+        b._stop = True  # threads are daemonic; don't join the 30s sleep
