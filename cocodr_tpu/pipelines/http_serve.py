@@ -39,14 +39,25 @@ from typing import Optional
 
 
 class _Request:
-    __slots__ = ("text", "k", "event", "hits", "error")
+    """One HTTP request's query group: all its texts, one Event.
 
-    def __init__(self, text: str, k: int):
-        self.text = text
+    Grouping matters on the single-core host: per-QUERY queue items cost
+    64 lock round-trips + 64 Event waits for a 64-query POST — measured
+    at ~25% of HTTP-level throughput. A group is one queue item and one
+    Event; the dispatcher slices it across device batches when it spans
+    a max_batch boundary (`done` counts completed rows; only the single
+    reader thread mutates it).
+    """
+
+    __slots__ = ("texts", "k", "event", "hits", "error", "done")
+
+    def __init__(self, texts, k: int):
+        self.texts = texts
         self.k = k
         self.event = threading.Event()
-        self.hits = None
+        self.hits = [None] * len(texts)
         self.error = None
+        self.done = 0
 
 
 class QueueFullError(Exception):
@@ -54,7 +65,7 @@ class QueueFullError(Exception):
 
 
 class Batcher:
-    """Coalesces concurrent single queries into batched device dispatches
+    """Coalesces concurrent query groups into batched device dispatches
     and pipelines their readback.
 
     Two threads own all jax work: the dispatcher collects waiting
@@ -65,17 +76,26 @@ class Batcher:
     the dispatch round trip of batch i overlaps the device work of
     batches i+1..i+depth — the same pipeline as search_stream, fed by
     HTTP instead of a generator.
+
+    queue_max bounds WAITING QUERIES (admission control): a submit that
+    would push the waiting total past it fails QueueFullError after a
+    short grace wait — the HTTP layer answers 503 — instead of buffering
+    unboundedly. A single group larger than queue_max is rejected
+    outright (the body-size cap keeps legitimate requests far below it).
     """
 
     def __init__(self, service, window_s: float = 0.002, depth: int = 8,
                  queue_max: int = 4096):
         self.service = service
         self.window_s = window_s
-        self.q: "queue.Queue[_Request]" = queue.Queue(maxsize=queue_max)
+        self.queue_max = queue_max
+        self.q: "queue.Queue" = queue.Queue()
         self.inflight: "queue.Queue" = queue.Queue(maxsize=max(1, depth))
         self.batches = 0  # observability: device dispatches issued
-        self.requests = 0
+        self.requests = 0  # observability: queries dispatched
         self._stop = False
+        self._cond = threading.Condition()
+        self._waiting = 0  # queries admitted but not yet dispatched
         self._dispatcher = threading.Thread(target=self._loop, daemon=True)
         self._reader = threading.Thread(target=self._read_loop, daemon=True)
         self._dispatcher.start()
@@ -85,39 +105,40 @@ class Batcher:
         return self.submit_many([text], k, timeout)[0]
 
     def submit_many(self, texts, k: int, timeout: Optional[float] = 60.0):
-        """Enqueue all texts BEFORE waiting — a multi-query request rides
-        one (or few) coalesced dispatches instead of serializing. Raises
-        QueueFullError when the bounded queue stays full (saturated
-        server — the HTTP layer maps it to 503)."""
-        reqs = [_Request(t, k) for t in texts]
-        for i, r in enumerate(reqs):
-            try:
-                self.q.put(r, timeout=0.25)
-            except queue.Full:
-                err = QueueFullError("request queue saturated")
-                for rr in reqs[i:]:
-                    rr.error = err
-                    rr.event.set()
-                # requests already enqueued still complete; surface the
-                # saturation to the caller
-                raise err
-        out = []
-        for r in reqs:
-            if not r.event.wait(timeout):
-                raise TimeoutError("search timed out")
-            if r.error is not None:
-                if isinstance(r.error, QueueFullError):
-                    raise r.error
-                raise RuntimeError(r.error)
-            out.append(r.hits)
-        return out
+        """One queue item + one Event for the whole group. Raises
+        QueueFullError when admission stays blocked (saturated server —
+        the HTTP layer maps it to 503); admission is all-or-nothing."""
+        if not texts:
+            return []
+        req = _Request(list(texts), k)
+        self._admit(len(req.texts))
+        self.q.put((req, 0))
+        if not req.event.wait(timeout):
+            raise TimeoutError("search timed out")
+        if req.error is not None:
+            if isinstance(req.error, QueueFullError):
+                raise req.error
+            raise RuntimeError(req.error)
+        return req.hits
+
+    def _admit(self, n: int, grace_s: float = 0.25):
+        deadline = time.time() + grace_s
+        with self._cond:
+            while self._waiting + n > self.queue_max:
+                remaining = deadline - time.time()
+                if remaining <= 0:
+                    raise QueueFullError("request queue saturated")
+                self._cond.wait(remaining)
+            self._waiting += n
+
+    def _drained(self, n: int):
+        with self._cond:
+            self._waiting -= n
+            self._cond.notify_all()
 
     def stop(self):
         self._stop = True
-        try:
-            self.q.put_nowait(None)  # wake the dispatcher
-        except queue.Full:
-            pass
+        self.q.put(None)  # wake the dispatcher
         self._dispatcher.join(timeout=5)
         try:
             self.inflight.put_nowait(None)
@@ -127,15 +148,25 @@ class Batcher:
 
     def _loop(self):
         max_batch = self.service.cfg.max_batch
+        carry = None  # (req, start): group slice spilling past max_batch
         while True:
-            first = self.q.get()
-            if first is None:
-                self.inflight.put(None)
-                return
-            batch = [first]
+            if carry is not None:
+                first, carry = carry, None
+            else:
+                first = self.q.get()
+                if first is None:
+                    self.inflight.put(None)
+                    return
+            # parts: (req, start, end) row slices making up this batch
+            req, start = first
+            take = min(len(req.texts) - start, max_batch)
+            parts = [(req, start, start + take)]
+            n = take
+            if start + take < len(req.texts):
+                carry = (req, start + take)
             deadline = time.time() + self.window_s
             stopping = False
-            while len(batch) < max_batch:
+            while n < max_batch and carry is None:
                 remaining = deadline - time.time()
                 try:
                     item = self.q.get(
@@ -146,50 +177,87 @@ class Batcher:
                 if item is None or self._stop:
                     stopping = True
                     break
-                batch.append(item)
-            self._dispatch(batch)
+                req, start = item
+                take = min(len(req.texts) - start, max_batch - n)
+                parts.append((req, start, start + take))
+                n += take
+                if start + take < len(req.texts):
+                    carry = (req, start + take)
+            self._drained(n)
+            self._dispatch(parts, n)
             if stopping:
                 self.inflight.put(None)
                 return
 
-    def _dispatch(self, batch):
+    def _dispatch(self, parts, n):
         self.batches += 1
-        self.requests += len(batch)
-        k = min(max(r.k for r in batch), self.service.cfg.top_k)
+        self.requests += n
+        k = min(max(r.k for r, _, _ in parts), self.service.cfg.top_k)
+        texts = []
+        for r, s, e in parts:
+            texts.extend(r.texts[s:e])
         try:
-            pending = self.service.dispatch(
-                [r.text for r in batch], k
-            )
+            pending = self.service.dispatch(texts, k)
         except Exception as e:  # pragma: no cover - surfaced per request
-            for r in batch:
+            for r, _, _ in parts:
                 r.error = f"{type(e).__name__}: {e}"
                 r.event.set()
             return
         # blocks when `depth` batches are already in flight: natural
         # backpressure into the request queue
-        self.inflight.put((batch, k, pending))
+        self.inflight.put((parts, k, pending))
 
     def _read_loop(self):
-        while True:
-            item = self.inflight.get()
-            if item is None:
+        collect_many = getattr(self.service, "collect_many", None)
+        stop = False
+        while not stop:
+            # drain EVERYTHING in flight per readback: each device_get
+            # costs a full host<->device round trip (the tunnel RTT is
+            # several x the device time at batch 64), so collecting the
+            # group in one bulk transfer is what lets throughput approach
+            # the device limit instead of the round-trip limit
+            group = [self.inflight.get()]
+            while True:
+                try:
+                    group.append(self.inflight.get_nowait())
+                except queue.Empty:
+                    break
+            if None in group:
+                stop = True
+                group = [g for g in group if g is not None]
+            if not group:
                 return
-            batch, k, pending = item
             try:
-                vals, ids = self.service.collect(pending)
-                for i, r in enumerate(batch):
-                    kk = min(r.k, k)
-                    r.hits = [
-                        {"id": d if isinstance(d, (int, type(None)))
-                         else str(d), "score": float(v)}
-                        for d, v in zip(ids[i][:kk], list(vals[i])[:kk])
+                if collect_many is not None:
+                    results = collect_many([p for _, _, p in group])
+                else:
+                    results = [
+                        self.service.collect(p) for _, _, p in group
                     ]
             except Exception as e:  # pragma: no cover
-                for r in batch:
-                    r.error = f"{type(e).__name__}: {e}"
-            finally:
-                for r in batch:
-                    r.event.set()
+                for parts, _, _ in group:
+                    for r, _, _ in parts:
+                        r.error = f"{type(e).__name__}: {e}"
+                        r.event.set()
+                continue
+            for (parts, k, _), (vals, ids) in zip(group, results):
+                row = 0
+                for r, s, e in parts:
+                    kk = min(r.k, k)
+                    for j in range(s, e):
+                        # .tolist() rows: native float/int conversion is
+                        # far cheaper than per-element float() casts
+                        vrow = vals[row, :kk].tolist()
+                        irow = ids[row][:kk]
+                        r.hits[j] = [
+                            {"id": d if isinstance(d, (int, type(None)))
+                             else str(d), "score": v}
+                            for d, v in zip(irow, vrow)
+                        ]
+                        row += 1
+                    r.done += e - s
+                    if r.done == len(r.texts):
+                        r.event.set()
 
 
 def make_server(service, host: str = "127.0.0.1", port: int = 8080,

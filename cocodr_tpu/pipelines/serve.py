@@ -281,6 +281,19 @@ class RetrievalService:
         vals, idx = jax.device_get(handles)
         return self._external(vals, idx, nq)
 
+    def collect_many(self, pendings) -> list:
+        """Block on several dispatch() handles with ONE bulk device_get:
+        each readback costs a full host<->device round trip regardless of
+        payload size ([batch, k] results are tiny), so collecting
+        in-flight batches together costs one round trip instead of one
+        per batch (the HTTP reader and search_stream both drain this
+        way)."""
+        got = jax.device_get([h for _, h in pendings])
+        return [
+            self._external(v, i, nq)
+            for (nq, _), (v, i) in zip(pendings, got)
+        ]
+
     def _external(self, vals, idx, nq):
         vals, idx = vals[:nq], idx[:nq]
         if self.doc_ids is not None:
@@ -337,13 +350,7 @@ class RetrievalService:
         inflight = []
 
         def drain():
-            # ONE bulk transfer for the whole group: each device_get costs
-            # a full host<->device round trip regardless of payload size
-            # ([batch, k] results are tiny), so reading back per batch
-            # re-serializes the pipeline on latency
-            got = jax.device_get([h for _, h in inflight])
-            out = [self._external(v, i, nq)
-                   for (nq, _), (v, i) in zip(inflight, got)]
+            out = self.collect_many(inflight)
             inflight.clear()
             return out
 

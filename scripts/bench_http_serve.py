@@ -2,11 +2,17 @@
 (VERDICT r03 item 3: the blocking-dispatch server capped at ~1,500 q/s;
 the pipelined batcher should approach the search_stream number).
 
+Clients run in SEPARATE PROCESSES (multiprocessing spawn): in-process
+client threads share the GIL with the server's dispatcher/reader/handler
+threads and throttle the number being measured (~25% at 8 clients).
+
 Run: python -u scripts/bench_http_serve.py
+Env knobs: MAX_BATCH (64), N_CLIENTS (8), WINDOW_MS (2), DEPTH (8).
 Numbers recorded in docs/performance.md (serving section).
 """
 import http.client
 import json
+import multiprocessing as mp
 import os
 import sys
 import threading
@@ -14,25 +20,51 @@ import time
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 import numpy as np
-import jax
-import jax.numpy as jnp
-
-from cocodr_tpu.models.bert import BertConfig
-from cocodr_tpu.models.dual_encoder import build_dual_encoder
-from cocodr_tpu.pipelines.http_serve import make_server
-from cocodr_tpu.pipelines.serve import RetrievalService, ServeConfig
 
 N, D = 1_000_000, 768
-N_CLIENTS = 8
+N_CLIENTS = int(os.environ.get("N_CLIENTS", "8"))
 QUERIES_PER_POST = 64
 POSTS_PER_CLIENT = 24
 MAX_BATCH = int(os.environ.get("MAX_BATCH", "64"))
+WINDOW_MS = float(os.environ.get("WINDOW_MS", "2"))
+DEPTH = int(os.environ.get("DEPTH", "8"))
+
+
+def _client(ci: int, port: int, payload: str, n_posts: int, out,
+            start_evt=None, nq: int = QUERIES_PER_POST):
+    """Runs in a separate process: keep-alive POST loop. Responses are
+    read but NOT parsed (client-side json.loads of 640 hits competes for
+    the single host core with the server — it is not server throughput);
+    the warmup round parses and validates one response."""
+    conn = http.client.HTTPConnection("127.0.0.1", port, timeout=120)
+    if start_evt is not None:
+        # connect + signal ready BEFORE the barrier: spawn re-imports the
+        # module (numpy ~2s on the 1-core host) and that must stay
+        # outside the timed window
+        conn.connect()
+        out.put(("ready", ci))
+        start_evt.wait()
+    n = 0
+    for _ in range(n_posts):
+        conn.request("POST", "/search", body=payload)
+        r = conn.getresponse()
+        raw = r.read()
+        assert r.status == 200, raw[:200]
+        n += nq
+    out.put((ci, n))
 
 
 def main():
-    print("platform:", jax.devices()[0].platform, flush=True)
+    import jax
+    import jax.numpy as jnp
     import transformers
 
+    from cocodr_tpu.models.bert import BertConfig
+    from cocodr_tpu.models.dual_encoder import build_dual_encoder
+    from cocodr_tpu.pipelines.http_serve import make_server
+    from cocodr_tpu.pipelines.serve import RetrievalService, ServeConfig
+
+    print("platform:", jax.devices()[0].platform, flush=True)
     tok = transformers.BertTokenizerFast.from_pretrained(
         "bert-base-uncased"
     ) if os.path.exists(
@@ -64,7 +96,8 @@ def main():
     svc.search(["warm up the fused program"])
     print(f"warm compile: {time.time()-t0:.0f}s", flush=True)
 
-    server, batcher = make_server(svc, port=0, window_s=0.002, depth=8)
+    server, batcher = make_server(svc, port=0, window_s=WINDOW_MS / 1e3,
+                                  depth=DEPTH)
     port = server.server_address[1]
     threading.Thread(target=server.serve_forever, daemon=True).start()
 
@@ -77,36 +110,43 @@ def main():
         ]
         payloads.append(json.dumps({"queries": qs, "k": 10}))
 
-    def client(ci, out):
-        conn = http.client.HTTPConnection("127.0.0.1", port, timeout=120)
-        n = 0
-        for _ in range(POSTS_PER_CLIENT):
-            conn.request("POST", "/search", body=payloads[ci])
-            r = conn.getresponse()
-            body = json.loads(r.read())
-            assert r.status == 200, body
-            n += len(body["hits"])
-        out[ci] = n
+    # warm one full round in-process, parsing + validating the response
+    conn = http.client.HTTPConnection("127.0.0.1", port, timeout=120)
+    for _ in range(2):
+        conn.request("POST", "/search", body=payloads[0])
+        r = conn.getresponse()
+        body = json.loads(r.read())
+        assert r.status == 200 and len(body["hits"]) == QUERIES_PER_POST
+        assert all(len(h) == 10 for h in body["hits"])
+    conn.close()
+    b0, r0 = batcher.batches, batcher.requests
 
-    # warm one full round (compiles the batch-64 bucket)
-    out = [0] * N_CLIENTS
-    client(0, out)
-
-    out = [0] * N_CLIENTS
-    threads = [
-        threading.Thread(target=client, args=(i, out))
+    ctx = mp.get_context("spawn")
+    outq = ctx.Queue()
+    start_evt = ctx.Event()
+    procs = [
+        ctx.Process(target=_client,
+                    args=(i, port, payloads[i], POSTS_PER_CLIENT, outq,
+                          start_evt))
         for i in range(N_CLIENTS)
     ]
+    for p in procs:
+        p.start()
+    for _ in procs:  # wait for every client's ready signal
+        msg = outq.get()
+        assert msg[0] == "ready", msg
     t0 = time.time()
-    for t in threads:
-        t.start()
-    for t in threads:
-        t.join()
+    start_evt.set()
+    total = sum(outq.get()[1] for _ in procs)
     dt = time.time() - t0
-    total = sum(out)
+    for p in procs:
+        p.join()
+    nb = batcher.batches - b0
+    nr = batcher.requests - r0
     print(f"HTTP: {total} queries in {dt:.2f}s = {total/dt:,.0f} q/s "
-          f"({batcher.batches} dispatches, "
-          f"{batcher.requests / max(1, batcher.batches):.1f} q/dispatch)",
+          f"({nb} dispatches, {nr / max(1, nb):.1f} q/dispatch; "
+          f"max_batch={MAX_BATCH} window={WINDOW_MS}ms depth={DEPTH} "
+          f"clients={N_CLIENTS})",
           flush=True)
     server.shutdown()
     batcher.stop()

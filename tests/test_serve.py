@@ -328,6 +328,31 @@ def _tiny_http_service(tmp_path):
     )
 
 
+def test_http_batcher_splits_group_across_batches(tmp_path):
+    """A query group larger than max_batch spans several device
+    dispatches (the dispatcher's carry path) and reassembles in order."""
+    from cocodr_tpu.pipelines.http_serve import Batcher
+
+    svc = _tiny_http_service(tmp_path)  # max_batch=8
+    queries = [f"w{i} w{(i * 7) % 50}" for i in range(20)]
+    ref_vals, ref_ids = svc.search(queries)  # also pre-compiles
+
+    b = Batcher(svc, window_s=0.01, depth=2)
+    try:
+        hits = b.submit_many(queries, 5, timeout=120)
+        assert len(hits) == 20
+        for i, row in enumerate(hits):
+            assert [h["id"] for h in row] == list(ref_ids[i])
+            np.testing.assert_allclose(
+                [h["score"] for h in row], np.asarray(ref_vals[i]),
+                rtol=1e-5,
+            )
+        # 20 queries at max_batch=8 -> at least ceil(20/8)=3 dispatches
+        assert b.batches >= 3 and b.requests == 20
+    finally:
+        b.stop()
+
+
 def test_http_server_rejects_oversized_body(tmp_path):
     """Content-Length above the cap -> 413 BEFORE the body is read."""
     import http.client
