@@ -79,21 +79,56 @@ class CondenserForPretraining(nn.Module):
         logits = self.bert.mlm_logits_from_embed(h)
         return logits + self.decoder_bias
 
-    def mlm_loss(self, hiddens, labels):
-        """mlm_cross_entropy(mlm_logits(hiddens), labels), computed over a
-        gathered budget of masked positions (see mlm_budget_frac)."""
-        B, S, H = hiddens.shape
-        T = B * S
+    def _mlm_budget(self, labels):
+        """(order, l_sel) gathering masked positions into the padded
+        budget, or None when the budget doesn't beat the dense path."""
+        T = labels.shape[0] * labels.shape[1]
         budget = -(-int(T * self.mlm_budget_frac) // 128) * 128
         if budget >= T:
-            return mlm_cross_entropy(self.mlm_logits(hiddens), labels)
+            return None
         flat_l = labels.reshape(T)
         # stable argsort over the not-masked flag: masked positions first,
         # in original order; unfilled budget rows keep IGNORE_INDEX labels
         order = jnp.argsort(flat_l == IGNORE_INDEX, stable=True)[:budget]
-        h_sel = jnp.take(hiddens.reshape(T, H), order, axis=0)
-        l_sel = jnp.take(flat_l, order, axis=0)
+        return order, jnp.take(flat_l, order, axis=0)
+
+    def mlm_loss(self, hiddens, labels):
+        """mlm_cross_entropy(mlm_logits(hiddens), labels), computed over a
+        gathered budget of masked positions (see mlm_budget_frac)."""
+        sel = self._mlm_budget(labels)
+        if sel is None:
+            return mlm_cross_entropy(self.mlm_logits(hiddens), labels)
+        order, l_sel = sel
+        H = hiddens.shape[-1]
+        h_sel = jnp.take(hiddens.reshape(-1, H), order, axis=0)
         return mlm_cross_entropy(self.mlm_logits(h_sel), l_sel)
+
+    def mlm_loss_pair(self, h_head, h_late, labels):
+        """(head_loss, late_loss) sharing one budget gather and ONE
+        decoder matmul: the head and late_mlm losses use the same
+        mlm_transform + tied decoder, so their [budget, H] selections
+        stack into a single [2*budget, vocab] logits matmul — identical
+        values/grads to two mlm_loss calls, half the kernel dispatches."""
+        sel = self._mlm_budget(labels)
+        if sel is None:
+            return self.mlm_loss(h_head, labels), self.mlm_loss(
+                h_late, labels
+            )
+        order, l_sel = sel
+        H = h_head.shape[-1]
+        both = jnp.concatenate(
+            [
+                jnp.take(h_head.reshape(-1, H), order, axis=0),
+                jnp.take(h_late.reshape(-1, H), order, axis=0),
+            ],
+            axis=0,
+        )
+        logits = self.mlm_logits(both)
+        budget = order.shape[0]
+        return (
+            mlm_cross_entropy(logits[:budget], l_sel),
+            mlm_cross_entropy(logits[budget:], l_sel),
+        )
 
     def encode(self, input_ids, attention_mask, deterministic=True):
         last, hidden_states, _ = self.bert(
@@ -124,12 +159,13 @@ class CondenserForPretraining(nn.Module):
             input_ids, attention_mask, deterministic
         )
         h = self.head_hiddens(last, hidden_states, attention_mask, deterministic)
-        head_loss = self.mlm_loss(h, labels)
-        loss = head_loss
-        late_loss = jnp.zeros(())
         if self.late_mlm:
-            late_loss = self.mlm_loss(last, labels)
-            loss = loss + late_loss
+            head_loss, late_loss = self.mlm_loss_pair(h, last, labels)
+            loss = head_loss + late_loss
+        else:
+            head_loss = self.mlm_loss(h, labels)
+            loss = head_loss
+            late_loss = jnp.zeros(())
         aux = {
             "cls": last[:, 0],
             "head_mlm_loss": head_loss,

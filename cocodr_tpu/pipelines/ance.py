@@ -210,8 +210,19 @@ def mine(
     checkpoint_name: str = "",
     corpus_emb: Optional[np.ndarray] = None,
 ) -> Dict[str, float]:
-    """One mining round. Returns the dev metrics it logged."""
+    """One mining round. Returns the dev metrics it logged, plus a
+    `time_*` wall-clock breakdown of the phases (corpus encode dominates
+    at full MARCO scale — see docs/performance.md, mining rehearsal)."""
     os.makedirs(out_dir, exist_ok=True)
+    timings: Dict[str, float] = {}
+    _t = time.time()
+
+    def _mark(phase):
+        nonlocal _t
+        now = time.time()
+        timings[phase] = timings.get(phase, 0.0) + (now - _t)
+        _t = now
+
     rng = np.random.RandomState(cfg.seed + output_num)
     ecfg = EncodeConfig(batch_size=cfg.batch_size,
                         length_buckets=cfg.length_buckets)
@@ -255,6 +266,7 @@ def mine(
                 os.replace(emb_file + ".tmp.npy", emb_file)
         if emb_file and cfg.emb_cache_keep > 0:
             _prune_emb_cache(cfg.emb_cache_dir, cfg.emb_cache_keep)
+    _mark("corpus_encode")
 
     def rows_to_docs(top):
         if row2doc is None:
@@ -272,6 +284,7 @@ def mine(
             from cocodr_tpu.ops.ivf import build_ivf_index
 
             ivf_index = build_ivf_index(corpus_emb, dtype=jnp.bfloat16)
+    _mark("ivf_build")
 
     # dev eval at this checkpoint (data_gen.py:306-319)
     dev_emb = encode_cache(q_enc, dev_query_cache, ecfg)
@@ -287,6 +300,7 @@ def mine(
         list(range(len(dev_emb))), dev_top, dedupe=row2doc is not None
     )
     dev_metrics = evaluate_run(dev_run, dev_qrels, recall_ks=(k,))
+    _mark("dev_eval")
 
     # train-query encode + mine; without clustering, rotate over
     # 1/chunk_factor of the queries per round (data_gen.py:375-386)
@@ -302,6 +316,7 @@ def mine(
     train_emb = encode_cache(
         q_enc, train_query_cache, ecfg, indices=query_ids
     )
+    _mark("train_encode")
     kt = min(cfg.topk_training, corpus_emb.shape[0])
     _, train_top = search_topk(
         train_emb, corpus_emb, kt, mesh=mesh, q_chunk=cfg.q_chunk,
@@ -309,9 +324,11 @@ def mine(
         method=cfg.search_method, ivf_index=ivf_index,
         ivf_nprobe=cfg.ivf_nprobe,
     )
+    _mark("train_search")
     negatives, mrr_scores = generate_negatives(
         rows_to_docs(train_top), query_ids, train_positives, cfg, rng
     )
+    _mark("negatives")
 
     clusters = weights = None
     if cfg.cluster_query:
@@ -328,6 +345,7 @@ def mine(
             for pos in range(len(train_emb))
         }
         weights = {q: 1.0 for q in clusters}  # reference writes weight=1
+    _mark("cluster")
 
     write_ann_data(
         ann_data_path(out_dir, output_num),
@@ -351,6 +369,10 @@ def mine(
         ann_ndcg_path(out_dir, output_num) + ".tmp",
         ann_ndcg_path(out_dir, output_num),
     )
+    _mark("write")
+    for phase, secs in timings.items():
+        dev_metrics[f"time_{phase}"] = secs
+    dev_metrics["time_total"] = sum(timings.values())
     return dev_metrics
 
 
