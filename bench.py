@@ -151,17 +151,22 @@ def bench_train_step(batch=64, seq=128, q_seq=64, iters=10,
 
 
 def bench_coco(batch=128, seq=128, iters=8):
-    """COCO pretraining step: Condenser MLM + c_head + global contrastive,
-    B=128 spans (64 docs x 2 spans), bert-base bf16, remat, AdamW — the
-    reference stage's per-device work at its published span length."""
+    """COCO pretraining step: Condenser MLM + c_head + late_mlm + global
+    contrastive, B=128 spans (64 docs x 2 spans), bert-base bf16, AdamW —
+    the reference stage's per-device work at its published span length, in
+    the shipped configuration (no remat — activations fit at B=128; MLM
+    gather budget 0.17; both measured fastest, scripts/ab_coco_step.py)."""
     import optax
 
     from cocodr_tpu.models.condenser import CoCondenserForPretraining
     from cocodr_tpu.pipelines.coco import CocoConfig, build_coco_train_step
     from cocodr_tpu.utils.train_state import TrainState
 
-    cfg = dataclasses.replace(BertConfig(), dtype=jnp.bfloat16, remat=True)
-    model = CoCondenserForPretraining(cfg, n_head_layers=2, skip_from=6)
+    cfg = dataclasses.replace(BertConfig(), dtype=jnp.bfloat16)
+    model = CoCondenserForPretraining(
+        cfg, n_head_layers=2, skip_from=6, late_mlm=True,
+        mlm_budget_frac=0.17,
+    )
     ids = jnp.ones((batch, seq), jnp.int32)
     mask = jnp.ones((batch, seq), jnp.int32)
     rng = np.random.RandomState(0)

@@ -680,6 +680,7 @@ def cmd_coco(args):
         n_head_layers=cfg.n_head_layers,
         skip_from=cfg.skip_from,
         late_mlm=cfg.late_mlm,
+        mlm_budget_frac=cfg.mlm_budget_frac,
     )
     weights = None
     for name in ("model.safetensors", "pytorch_model.bin"):

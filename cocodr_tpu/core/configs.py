@@ -94,6 +94,12 @@ class CocoStageConfig:
     skip_from: int = 6
     late_mlm: bool = True
     cache_chunk_size: int = 0
+    # MLM decoder gather budget as a fraction of B*S. The WWM collator
+    # caps masking at round(mlm_probability*len) PER SEQUENCE, so any
+    # frac >= mlm_probability + 1/(2*max_seq_length) is deterministically
+    # lossless; 0.17 vs the model default 0.25 is worth ~3% step
+    # throughput at B=128 S=128 (scripts/ab_coco_step.py, round 4).
+    mlm_budget_frac: float = 0.17
 
     def warmup_steps_for(self, total_steps: int) -> int:
         """warmup_ratio -> absolute warmup steps from the run's step budget

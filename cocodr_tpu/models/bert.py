@@ -25,6 +25,7 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 import numpy as np
+from jax.ad_checkpoint import checkpoint_name
 
 Dtype = Any
 
@@ -275,12 +276,17 @@ class BertSelfAttention(nn.Module):
                 "bqnd,bknd->bnqk", q, k, preferred_element_type=jnp.float32
             )
             scores = scores * scale + attn_bias
+            # tagged for the 'no_save:attn_scores,attn_probs' remat policy:
+            # the [B, N, S, S] pair is the bulk of the per-layer residual
+            # stash; recomputing it in backward costs one QK^T + exp
+            scores = checkpoint_name(scores, "attn_scores")
             m = jax.lax.stop_gradient(
                 jnp.max(scores, axis=-1, keepdims=True)
             )
             # single consumer of the f32 exp -> the fusion emits only the
             # compute-dtype tensor; the denominator reads that one back
             unnorm = jnp.exp(scores - m).astype(cfg.dtype)
+            unnorm = checkpoint_name(unnorm, "attn_probs")
             denom = jnp.sum(
                 unnorm.astype(jnp.float32), axis=-1
             )  # [B, N, S]
@@ -503,14 +509,24 @@ class BertEncoder(nn.Module):
         if cfg.remat:
             policy = None
             if cfg.remat_policy:
-                policy = getattr(
-                    jax.checkpoint_policies, cfg.remat_policy, None
-                )
+                if cfg.remat_policy.startswith("no_save:"):
+                    # selective remat: save every residual EXCEPT the named
+                    # checkpoint_name tags (e.g. 'attn_scores,attn_probs' —
+                    # the [B, N, S, S] tensors), which backward recomputes
+                    names = cfg.remat_policy[len("no_save:"):].split(",")
+                    policy = (
+                        jax.checkpoint_policies
+                        .save_anything_except_these_names(*names)
+                    )
+                else:
+                    policy = getattr(
+                        jax.checkpoint_policies, cfg.remat_policy, None
+                    )
                 if policy is None:
                     raise ValueError(
                         f"unknown remat_policy {cfg.remat_policy!r}; valid "
                         f"names are jax.checkpoint_policies attributes, "
-                        f"e.g. 'dots_saveable'"
+                        f"e.g. 'dots_saveable', or 'no_save:<tag,...>'"
                     )
             body = nn.remat(
                 Body,

@@ -27,7 +27,7 @@ from cocodr_tpu.utils.train_state import TrainState
 B, S, ITERS = 128, 128, 8
 
 
-def run(name, remat=True, remat_policy="", budget=0.25):
+def run(name, remat=True, remat_policy="", budget=0.25, B=B):
     cfg = dataclasses.replace(
         BertConfig(), dtype=jnp.bfloat16, remat=remat,
         remat_policy=remat_policy,
@@ -73,13 +73,42 @@ def run(name, remat=True, remat_policy="", budget=0.25):
 
 def main():
     print("platform:", jax.devices()[0].platform, flush=True)
-    run("base (remat full, budget 0.25)")
-    run("remat dots_saveable", remat_policy="dots_saveable")
-    run("no remat", remat=False)
-    run("budget 0.17", budget=0.17)
-    run("dots_saveable + budget 0.17",
-        remat_policy="dots_saveable", budget=0.17)
-    run("no remat + budget 0.17", remat=False, budget=0.17)
+    which = os.environ.get("VARIANTS", "policy")
+    if which == "policy":
+        run("base (remat full, budget 0.25)")
+        run("remat dots_saveable", remat_policy="dots_saveable")
+        run("no remat", remat=False)
+        run("budget 0.17", budget=0.17)
+        run("dots_saveable + budget 0.17",
+            remat_policy="dots_saveable", budget=0.17)
+        run("no remat + budget 0.17", remat=False, budget=0.17)
+    elif which == "batch":
+        # fixed per-step costs (MLM head, c_head, optimizer, embed/pool)
+        # amortize with B; the reference per-GPU batch at base is 200 docs
+        # (COCO/README.md), so large per-chip B is the production regime
+        run("no remat + budget 0.17, B=128", remat=False, budget=0.17)
+        run("no remat + budget 0.17, B=192", remat=False, budget=0.17,
+            B=192)
+        run("no remat + budget 0.17, B=256", remat=False, budget=0.17,
+            B=256)
+        run("no remat + budget 0.17, B=384", remat=False, budget=0.17,
+            B=384)
+        run("dots_saveable + budget 0.17, B=256",
+            remat_policy="dots_saveable", budget=0.17, B=256)
+        run("remat full + budget 0.17, B=256", budget=0.17, B=256)
+    elif which == "selective":
+        # selective remat: stash everything except the [B, N, S, S]
+        # attention tensors (recomputed in backward) — targets the ~45
+        # ms/step of dynamic-update-slice stash fusions in the no-remat
+        # trace while paying only one QK^T + exp recompute per layer
+        run("no remat + budget 0.17 (ref)", remat=False, budget=0.17)
+        run("no_save attn scores+probs, budget 0.17",
+            remat_policy="no_save:attn_scores,attn_probs", budget=0.17)
+        run("no_save attn scores only, budget 0.17",
+            remat_policy="no_save:attn_scores", budget=0.17)
+        run("no_save scores+probs, B=256",
+            remat_policy="no_save:attn_scores,attn_probs", budget=0.17,
+            B=256)
 
 
 if __name__ == "__main__":
