@@ -895,7 +895,7 @@ def _add_miner_knobs(sp):
     """Miner flags shared by `ance` and `ance-mine` (parity with
     run_ann_data_gen.py's CLI surface)."""
     sp.add_argument("--search-method", default="auto",
-                    choices=["auto", "pallas", "fast", "blockmax",
+                    choices=["auto", "pallas", "exact2", "fast", "blockmax",
                              "refined", "naive", "ivf"])
     sp.add_argument("--ivf-nprobe", type=int, default=32,
                     help="clusters probed per query with "
@@ -1127,7 +1127,7 @@ def main(argv=None):
                     help="comma-separated ascending encode widths (last >= "
                          "doc len), e.g. 64,128 — recovers padding waste")
     sp.add_argument("--search-method", default="auto",
-                    choices=["auto", "pallas", "fast", "blockmax",
+                    choices=["auto", "pallas", "exact2", "fast", "blockmax",
                              "refined", "naive", "ivf"])
     sp.add_argument("--ivf-nprobe", type=int, default=32,
                     help="clusters probed per query with "

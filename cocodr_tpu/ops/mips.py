@@ -277,7 +277,9 @@ def _tpu_like_backend() -> bool:
         return False
 
 
-SEARCH_METHODS = ("auto", "pallas", "fast", "blockmax", "refined", "naive")
+SEARCH_METHODS = (
+    "auto", "pallas", "exact2", "fast", "blockmax", "refined", "naive",
+)
 
 
 def resolve_search_method(method: str, refine: bool = True,
@@ -297,7 +299,7 @@ def resolve_search_method(method: str, refine: bool = True,
             "pallas" if _tpu_like_backend()
             else ("refined" if refine else "blockmax")
         )
-    if method in ("pallas", "fast") and not _tpu_like_backend():
+    if method in ("pallas", "exact2", "fast") and not _tpu_like_backend():
         return "blockmax"
     return method
 
@@ -313,6 +315,10 @@ def mips_topk_chunked_queries(
       'auto'     — pallas hierarchical kernel on TPU backends, XLA block-max
                    elsewhere (both exact);
       'pallas'   — force the pallas hierarchical kernel;
+      'exact2'   — pallas argmax-certificate exact search (top-2 coarse
+                   sweep, near-zero rescore; falls back to 'pallas' when
+                   the on-device certificate fails — see
+                   pallas_mips.mips_topk_exact2);
       'fast'     — pallas rescore-free block-argmax mode (~1.25x faster,
                    ~99.7% recall@100; see pallas_mips.mips_topk_fast);
       'blockmax' — force the XLA block-max path;
@@ -333,6 +339,10 @@ def mips_topk_chunked_queries(
             from cocodr_tpu.ops.pallas_mips import mips_topk_hierarchical
 
             v, i = mips_topk_hierarchical(qc, corpus, k)
+        elif method == "exact2":
+            from cocodr_tpu.ops.pallas_mips import mips_topk_exact2
+
+            v, i = mips_topk_exact2(qc, corpus, k)
         elif method == "fast":
             from cocodr_tpu.ops.pallas_mips import mips_topk_fast
 

@@ -1035,3 +1035,335 @@ def mips_topk_blockmax_pallas(
 
     # bf16 multiplies keep the rescore consistent with the sweep's scores
     return rescore_topk(queries, corpus, cand, k, dtype=jnp.bfloat16)
+
+
+# ---------------------------------------------------------------------------
+# Argmax-certificate exact search (top-2 per coarse block)
+# ---------------------------------------------------------------------------
+
+def _sweep_kernel_top2(q_ref, c_ref, best_ref, pack_ref, *, cb: int):
+    """Sweep emitting per-COARSE-block (cb rows) top-2 statistics:
+
+      best_ref [T/cb, Qt] f32 — the block's EXACT max score;
+      pack_ref [T/cb, Qt] f32 — the block's second-best score with the
+        argmax ROW (0..cb-1, cb <= 64 -> 6 bits) packed into the 6 low
+        mantissa bits.
+
+    The packing clears 6 mantissa LSBs of the SECOND value only — the
+    best stays exact, so downstream selection order and the returned
+    scores are exact; the second is used only for a >= threshold test,
+    where clearing low mantissa bits is monotone (for both signs:
+    |t(x)| = floor-to-step(|x|), so x >= y implies t(x) >= t(y) when the
+    threshold is cleared the same way) and therefore only ever flags
+    MORE blocks, never fewer.
+
+    Ties: strict '>' keeps the FIRST max occurrence as argmax (matching
+    lax.top_k semantics) — with replicate padding the real row N-1
+    precedes its pad copies, so the argmax doc id is always < N; a pad
+    copy that ties the max lands in `second` instead, flagging the
+    boundary block for rescore exactly when its docs matter."""
+    T = c_ref.shape[0]
+    Qt = q_ref.shape[0]
+    # VMEM discipline: a whole-tile [T, Qt] f32 score buffer plus the
+    # top-2 chain's live temporaries blows the 16M scoped limit (measured
+    # 19.7-25.6M at T=2048). Sub-tile the matmul instead: each 512-row
+    # sub-dot is reduced to its [sub/cb, Qt] block stats before the next
+    # sub-tile's scores exist, bounding the live set at ~2MB + operands.
+    sub = min(T, 512 if cb <= 512 else cb)
+    assert T % sub == 0 and sub % cb == 0, (T, sub, cb)
+    f = 8
+    g = cb // f
+    spb = sub // cb
+    q = q_ref[:]
+
+    def body(i, _):
+        # fori_loop, NOT an unrolled python loop: Mosaic allocates every
+        # unrolled iteration's score/temp buffers separately (measured
+        # 21-25M scoped VMEM); the loop body's buffers are reused across
+        # trips and the live set stays ~2MB + operands
+        c_sub = c_ref[pl.dslice(i * sub, sub), :]
+        scores = jax.lax.dot_general(
+            c_sub,
+            q,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [sub, Qt]
+        # two-stage top-2: 8-step chain within fine groups, then merge
+        s3 = scores.reshape(sub // f, f, Qt)
+        fb = s3[:, 0, :]
+        fs = jnp.full_like(fb, -jnp.inf)
+        fa = jnp.zeros((sub // f, Qt), jnp.int32)
+        for r in range(1, f):
+            s = s3[:, r, :]
+            m = s > fb
+            fs = jnp.where(m, fb, jnp.maximum(fs, s))
+            fb = jnp.where(m, s, fb)
+            fa = jnp.where(m, r, fa)
+        fb3 = fb.reshape(spb, g, Qt)
+        fs3 = fs.reshape(spb, g, Qt)
+        fa3 = fa.reshape(spb, g, Qt)
+        best = fb3[:, 0, :]
+        second = fs3[:, 0, :]
+        arg = fa3[:, 0, :]
+        for j in range(1, g):
+            b2, s2, a2 = fb3[:, j, :], fs3[:, j, :], fa3[:, j, :]
+            m = b2 > best
+            second = jnp.where(
+                m, jnp.maximum(best, s2), jnp.maximum(second, b2)
+            )
+            arg = jnp.where(m, a2 + j * f, arg)
+            best = jnp.where(m, b2, best)
+        bits = jax.lax.bitcast_convert_type(second, jnp.int32)
+        packed = (bits & ~jnp.int32(63)) | arg
+        best_ref[pl.dslice(i * spb, spb), :] = best
+        pack_ref[pl.dslice(i * spb, spb), :] = (
+            jax.lax.bitcast_convert_type(packed, jnp.float32)
+        )
+        return 0
+
+    jax.lax.fori_loop(0, T // sub, body, 0)
+
+
+def _top2_sweep(queries, corpus, tile, cb, q_tile, interpret):
+    """One kernel pass -> (best [n_cb, Qp], packed-second [n_cb, Qp]),
+    both corpus-major. Output traffic is Q*N/cb * 8 bytes — 4.5x less
+    than the exact hierarchical sweep's fine+coarse pair at cb=64."""
+    Q, D = queries.shape
+    N = corpus.shape[0]
+    assert N % tile == 0 and tile % cb == 0, (N, tile, cb)
+    assert cb % 8 == 0 and cb <= 64, cb  # 6-bit arg pack, 8-row fine stage
+    if not interpret:
+        assert (tile // cb) % 8 == 0 and q_tile % 128 == 0, (
+            tile, cb, q_tile,
+        )
+    n_tiles = N // tile
+    qpad = (-Q) % q_tile
+    if qpad:
+        queries = jnp.pad(queries, ((0, qpad), (0, 0)))
+    Qp = Q + qpad
+    n_q_tiles = Qp // q_tile
+
+    spec = pl.BlockSpec(
+        (tile // cb, q_tile), lambda i, j: (i, j), memory_space=pltpu.VMEM
+    )
+    best_t, pack_t = pl.pallas_call(
+        functools.partial(_sweep_kernel_top2, cb=cb),
+        grid=(n_tiles, n_q_tiles),
+        in_specs=[
+            pl.BlockSpec(
+                (q_tile, D), lambda i, j: (j, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (tile, D), lambda i, j: (i, 0), memory_space=pltpu.VMEM
+            ),
+        ],
+        out_specs=(spec, spec),
+        out_shape=(
+            jax.ShapeDtypeStruct((N // cb, Qp), jnp.float32),
+            jax.ShapeDtypeStruct((N // cb, Qp), jnp.float32),
+        ),
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * Qp * N * D,
+            bytes_accessed=N * D * 2 + Qp * D * 2 + Qp * (N // cb) * 8,
+            transcendentals=0,
+        ),
+    )(queries.astype(jnp.bfloat16), corpus.astype(jnp.bfloat16))
+    return best_t, pack_t
+
+
+def _clear6(x):
+    bits = jax.lax.bitcast_convert_type(x, jnp.int32)
+    return jax.lax.bitcast_convert_type(bits & ~jnp.int32(63), jnp.float32)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("n_real", "k", "tile", "cb", "supers",
+                     "rescore_blocks", "q_tile", "interpret"),
+)
+def _exact2_core(queries, corpus_p, n_real: int, k: int, tile: int, cb: int,
+                 supers: int, rescore_blocks: int, q_tile: int,
+                 interpret: bool):
+    """Jitted core of mips_topk_exact2. Returns (vals, ids, ok) where
+    ok=False means some query flagged more than `rescore_blocks` coarse
+    blocks and the host wrapper must fall back to the full rescore path
+    (mips_topk_hierarchical). See mips_topk_exact2 for the argument."""
+    Q, D = queries.shape
+    Np = corpus_p.shape[0]
+    N = int(n_real)
+    R = rescore_blocks
+
+    best_t, pack_t = _top2_sweep(
+        queries, corpus_p, tile=tile, cb=cb, q_tile=q_tile,
+        interpret=interpret,
+    )  # [n_cb, Qp] each
+
+    n_cb = Np // cb
+    n_cb_real = -(-N // cb)
+    col_real = (jnp.arange(n_cb) < n_cb_real)[:, None]
+    bm = jnp.where(col_real, best_t, -jnp.inf).T[:Q]      # [Q, n_cb]
+    pk = jnp.where(col_real, pack_t, -jnp.inf).T[:Q]      # [Q, n_cb]
+
+    # super level: top-(k+slack) super blocks, then top-kc coarse blocks
+    # among the survivors' coarse runs (coverage argument as in
+    # _select_coarse_blocks)
+    n_super = -(-n_cb // supers)
+    pad_c = n_super * supers - n_cb
+    if pad_c:
+        bm_p = jnp.pad(bm, ((0, 0), (0, pad_c)), constant_values=-jnp.inf)
+        pk_p = jnp.pad(pk, ((0, 0), (0, pad_c)), constant_values=-jnp.inf)
+    else:
+        bm_p, pk_p = bm, pk
+    sup = jnp.max(bm_p.reshape(Q, n_super, supers), axis=2)
+    # bound by the count of REAL supers: pallas_topk pads with finfo.min,
+    # which outranks the -inf masked pad supers — selecting past the real
+    # count would return the out-of-width sentinel index
+    n_super_real = -(-n_cb_real // supers)
+    ks = min(k + (1 if N % (cb * supers) else 0), n_super_real)
+    _, sup_ids = pallas_topk(sup, ks, interpret=interpret)  # [Q, ks]
+
+    best_runs = jnp.take_along_axis(
+        bm_p.reshape(Q, n_super, supers), sup_ids[:, :, None], axis=1
+    ).reshape(Q, ks * supers)
+    pack_runs = jnp.take_along_axis(
+        pk_p.reshape(Q, n_super, supers), sup_ids[:, :, None], axis=1
+    ).reshape(Q, ks * supers)
+    cand_blk = (
+        sup_ids[:, :, None] * supers
+        + jnp.arange(supers, dtype=jnp.int32)[None, None, :]
+    ).reshape(Q, ks * supers)
+
+    extra = 1 if N % cb else 0
+    kc = min(k + extra, n_cb_real, ks * supers)
+    vals, pos = pallas_topk(best_runs, kc, interpret=interpret)  # [Q, kc]
+    blk = jnp.take_along_axis(cand_blk, pos, axis=1)             # [Q, kc]
+    pks = jnp.take_along_axis(pack_runs, pos, axis=1)
+
+    pk_bits = jax.lax.bitcast_convert_type(pks, jnp.int32)
+    arg = jnp.where(jnp.isfinite(pks), pk_bits & 63, 0)
+    second = jax.lax.bitcast_convert_type(
+        jnp.where(
+            jnp.isfinite(pks), pk_bits & ~jnp.int32(63), pk_bits
+        ),
+        jnp.float32,
+    )
+    doc = jnp.minimum(blk * cb + arg, N - 1)  # argmax doc, exact score vals
+
+    # certificate: the kc selected blocks' argmax docs are kc DISTINCT
+    # real docs with exact scores `vals`, so vals[:, k-1] is a true lower
+    # bound on the k-th best score. Only blocks whose SECOND max clears
+    # it can hide another top-k doc.
+    s_lb = _clear6(vals[:, k - 1])
+    flag = second >= s_lb[:, None]
+
+    # rescore the top-R flagged blocks (whole cb-row gathers). Unflagged
+    # slots carry -1e38: strictly above pallas_topk's finfo.min padding
+    # AND its per-iteration mask value, so an all-unflagged row still
+    # yields R DISTINCT in-width positions (values equal to the mask
+    # value would be re-picked every iteration); strictly below any real
+    # second, so flagged blocks always win the R slots
+    key = jnp.where(flag, second, jnp.float32(-1e38))
+    _, rpos = pallas_topk(key, R, interpret=interpret)     # [Q, R]
+    resc_blk = jnp.take_along_axis(blk, rpos, axis=1)      # [Q, R]
+    blocks = corpus_p.reshape(n_cb, cb, D)
+    qq = queries.astype(jnp.bfloat16)
+
+    def rescore_chunk(args):
+        q_c, rb_c = args  # [C, D], [C, R]
+        C = q_c.shape[0]
+        rows = jnp.take(blocks, rb_c, axis=0).astype(jnp.bfloat16)
+        s = jnp.einsum(
+            "qd,qrmd->qrm", q_c, rows, preferred_element_type=jnp.float32
+        ).reshape(C, R * cb)
+        c2 = (
+            rb_c[:, :, None] * cb
+            + jnp.arange(cb, dtype=jnp.int32)[None, None, :]
+        ).reshape(C, R * cb)
+        return jnp.where(c2 < N, s, -jnp.inf), c2
+
+    budget_rows = max(1, (512 * 1024 * 1024) // (R * cb * D * 2))
+    chunk = max(128, min(Q, budget_rows))
+    n_chunks = -(-Q // chunk)
+    qpad2 = n_chunks * chunk - Q
+    q_p = jnp.pad(qq, ((0, qpad2), (0, 0)))
+    rb_p = jnp.pad(resc_blk, ((0, qpad2), (0, 0)))
+    if n_chunks == 1:
+        rs, rc = rescore_chunk((q_p, rb_p))
+    else:
+        rs, rc = jax.lax.map(
+            rescore_chunk,
+            (
+                q_p.reshape(n_chunks, chunk, D),
+                rb_p.reshape(n_chunks, chunk, R),
+            ),
+        )
+        rs = rs.reshape(Q + qpad2, R * cb)
+        rc = rc.reshape(Q + qpad2, R * cb)
+    rs, rc = rs[:Q], rc[:Q]
+
+    # suppress the argmax candidate of every RESCORED block (its rows —
+    # including the argmax row with the same exact score — are all among
+    # the rescored candidates), so no doc appears twice
+    kc_iota = jax.lax.broadcasted_iota(jnp.int32, (Q, kc), 1)
+    sup_mask = jnp.any(kc_iota[:, :, None] == rpos[:, None, :], axis=2)
+    argv = jnp.where(sup_mask, -jnp.inf, vals)
+    # the certificate itself: EVERY flagged block made it into the R
+    # rescore slots (the direct invariant — subsumes the count <= R check)
+    ok = jnp.logical_not(jnp.any(flag & jnp.logical_not(sup_mask)))
+
+    allv = jnp.concatenate([argv, rs], axis=1)     # [Q, kc + R*cb]
+    alli = jnp.concatenate([doc, jnp.minimum(rc, N - 1)], axis=1)
+    fv, fp = pallas_topk(allv, k, interpret=interpret)
+    fi = jnp.take_along_axis(alli, fp, axis=1)
+    return fv, fi, ok
+
+
+def mips_topk_exact2(
+    queries: jnp.ndarray,
+    corpus: jnp.ndarray,
+    k: int,
+    tile: int = 2048,
+    cb: int = 64,
+    supers: int = 8,
+    rescore_blocks: int = 0,  # 0 = auto from the expected flag count
+    q_tile: int = 1024,
+    interpret: bool = False,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Exact top-k via an argmax certificate — near-zero rescore volume.
+
+    The sweep keeps, per 64-row coarse block, its exact max, the argmax
+    row (6 packed bits) and the second-best value. Selection picks the
+    top-(k+slack) blocks by max; their argmax rows are k+ DISTINCT docs
+    with exact scores, so the k-th best of those is a true lower bound
+    s_lb on the k-th result. A block can hide a further top-k doc ONLY if
+    its second-best >= s_lb — expected ~C(k,2)*cb/N blocks per query
+    (~0.3 at 1M docs, k=100) — so only those get the candidate gather the
+    classic path pays for all k+ blocks (mips_topk_hierarchical rescores
+    (k+1)*fine rows/query; FAISS IndexFlatIP heap-scans everything,
+    ANCE/drivers/run_ann_data_gen.py:311-317). The flag count is checked
+    ON DEVICE: if any query flags more than `rescore_blocks` blocks the
+    wrapper falls back to mips_topk_hierarchical (exactness never rests
+    on the estimate). Returned scores are the sweep's exact f32
+    accumulations; ties resolve lowest-index-first like lax.top_k.
+    """
+    Q, D = queries.shape
+    N = corpus.shape[0]
+    k = min(k, N)
+    n_cb_real = -(-N // cb)
+    if n_cb_real < k + 2 or N < max(tile, cb * supers * 2):
+        # small corpus: the certificate needs >= k selectable blocks and
+        # the tile pipeline; the classic path is already fast here
+        return mips_topk_hierarchical(queries, corpus, k, interpret=interpret)
+    if rescore_blocks <= 0:
+        lam = k * (k - 1) / 2 * cb / N
+        rescore_blocks = int(min(32, max(4, lam + 6 * lam ** 0.5 + 3)))
+    corpus_p = _pad_replicate(corpus, max(tile, cb * supers))
+    q_tile = min(q_tile, max(128, -(-Q // 128) * 128))
+    vals, ids, ok = _exact2_core(
+        queries, corpus_p, n_real=N, k=k, tile=tile, cb=cb, supers=supers,
+        rescore_blocks=rescore_blocks, q_tile=q_tile, interpret=interpret,
+    )
+    if not bool(ok):
+        return mips_topk_hierarchical(queries, corpus, k, interpret=interpret)
+    return vals, ids

@@ -256,3 +256,113 @@ def test_hierarchical_multiple_query_tiles_super_rows():
         np.asarray(v), np.asarray(v_ref), atol=2e-5, rtol=1e-5
     )
     np.testing.assert_array_equal(np.asarray(i), np.asarray(i_ref))
+
+
+def _np_topk(q, c, k):
+    """bf16-consistent reference scores + exact top-k (ties: lowest id)."""
+    s = np.asarray(
+        jnp.matmul(
+            jnp.asarray(q, jnp.bfloat16),
+            jnp.asarray(c, jnp.bfloat16).T,
+            preferred_element_type=jnp.float32,
+        )
+    )
+    ids = np.argsort(-s, axis=1, kind="stable")[:, :k]
+    return np.take_along_axis(s, ids, axis=1), ids
+
+
+def test_exact2_matches_naive():
+    from cocodr_tpu.ops.pallas_mips import mips_topk_exact2
+
+    rng = np.random.RandomState(0)
+    Q, N, D, k = 16, 2048, 32, 10
+    q = rng.randn(Q, D).astype(np.float32)
+    c = rng.randn(N, D).astype(np.float32)
+    v, i = mips_topk_exact2(
+        jnp.asarray(q), jnp.asarray(c), k, tile=256, cb=16, supers=4,
+        q_tile=8, interpret=True,
+    )
+    rv, ri = _np_topk(q, c, k)
+    np.testing.assert_array_equal(np.asarray(i), ri)
+    np.testing.assert_allclose(np.asarray(v), rv, rtol=1e-5)
+
+
+def test_exact2_boundary_block():
+    """N not a multiple of the coarse block: replicate-padded copies of the
+    last row must neither duplicate nor displace real docs."""
+    from cocodr_tpu.ops.pallas_mips import mips_topk_exact2
+
+    rng = np.random.RandomState(1)
+    Q, N, D, k = 8, 2048 - 37, 32, 8
+    q = rng.randn(Q, D).astype(np.float32)
+    c = rng.randn(N, D).astype(np.float32)
+    # make the LAST row a strong match so its pad copies hit the top
+    c[-1] = q[0] * 3.0
+    v, i = mips_topk_exact2(
+        jnp.asarray(q), jnp.asarray(c), k, tile=256, cb=16, supers=4,
+        q_tile=8, interpret=True,
+    )
+    rv, ri = _np_topk(q, c, k)
+    np.testing.assert_array_equal(np.asarray(i), ri)
+    assert len(set(np.asarray(i)[0].tolist())) == k  # no duplicate docs
+
+
+def test_exact2_two_docs_same_block():
+    """Two top-k docs sharing one coarse block exercises the second-max
+    flag + rescore path (the argmax certificate alone would miss one)."""
+    from cocodr_tpu.ops.pallas_mips import mips_topk_exact2
+
+    rng = np.random.RandomState(2)
+    Q, N, D, k = 4, 2048, 32, 5
+    q = rng.randn(Q, D).astype(np.float32)
+    c = rng.randn(N, D).astype(np.float32)
+    # rows 100 and 101 are both strong for every query (same 16-row block)
+    for col in range(Q):
+        c[100] += q[col] * 2.0
+        c[101] += q[col] * 1.9
+    v, i = mips_topk_exact2(
+        jnp.asarray(q), jnp.asarray(c), k, tile=256, cb=16, supers=4,
+        q_tile=8, interpret=True,
+    )
+    rv, ri = _np_topk(q, c, k)
+    np.testing.assert_array_equal(np.asarray(i), ri)
+    for col in range(Q):
+        assert 100 in np.asarray(i)[col] and 101 in np.asarray(i)[col]
+
+
+def test_exact2_overflow_falls_back():
+    """More flagged blocks than the rescore budget -> ok=False on device
+    -> host fallback to the classic path; result still exact."""
+    from cocodr_tpu.ops.pallas_mips import mips_topk_exact2
+
+    rng = np.random.RandomState(3)
+    Q, N, D, k = 4, 2048, 16, 8
+    q = rng.randn(Q, D).astype(np.float32)
+    c = rng.randn(N, D).astype(np.float32) * 0.01
+    # 8 blocks each holding TWO strong docs -> 7 flags > rescore_blocks=2.
+    # 0.05-spaced multipliers keep every planted score distinct after the
+    # bf16 cast (relative step ~0.4%), so numpy's tie order is unambiguous.
+    strong = q[0] / np.linalg.norm(q[0])
+    for b in range(8):
+        c[b * 256] = strong * (3.0 + 0.1 * b)
+        c[b * 256 + 1] = strong * (2.95 + 0.1 * b)
+    v, i = mips_topk_exact2(
+        jnp.asarray(q), jnp.asarray(c), k, tile=256, cb=16, supers=4,
+        rescore_blocks=2, q_tile=8, interpret=True,
+    )
+    rv, ri = _np_topk(q, c, k)
+    np.testing.assert_array_equal(np.asarray(i), ri)
+
+
+def test_exact2_small_corpus_delegates():
+    from cocodr_tpu.ops.pallas_mips import mips_topk_exact2
+
+    rng = np.random.RandomState(4)
+    q = rng.randn(4, 16).astype(np.float32)
+    c = rng.randn(96, 16).astype(np.float32)
+    v, i = mips_topk_exact2(
+        jnp.asarray(q), jnp.asarray(c), 5, tile=256, cb=16, supers=4,
+        q_tile=8, interpret=True,
+    )
+    rv, ri = _np_topk(q, c, 5)
+    np.testing.assert_array_equal(np.asarray(i), ri)
