@@ -233,9 +233,18 @@ def build_train_step(
         # forward, re-run ONLY the top K layers + pooling + head as a
         # separate K-length scan, and vjp that. Each group lane then pays a
         # K-layer backward.
-        assert bcfg is not None and 0 < K < bcfg.num_hidden_layers, (
-            "idro needs a DualEncoder model and 0 < idro_last_k_layers < L"
+        assert bcfg is not None and K > 0, (
+            "idro needs a DualEncoder model and idro_last_k_layers > 0"
         )
+        if K > bcfg.num_hidden_layers:
+            # Small-L models (e.g. 2-layer test checkpoints with the default
+            # K=3): the reference's last-k param selection
+            # (dro_loss.py:179-183) degenerates to the full stack. Clamp K=L:
+            # capture_layer becomes 0 (the embeddings output — supported, no
+            # scan iteration matches i == -1) and the top re-run IS the full
+            # stack, so group grads cover every layer, matching the reference.
+            K = bcfg.num_hidden_layers
+            cfg = dataclasses.replace(cfg, idro_last_k_layers=K)
         fast_group_pass = (
             not cfg.idro_lane_group_pass
             and not decfg.two_tower

@@ -657,6 +657,33 @@ def test_cli_serve_bulk_trec_run(hf_checkpoint, tmp_path, capsys):
         assert scores == sorted(scores, reverse=True)
 
 
+def test_cli_ance_idro_quick(hf_checkpoint, tmp_path, capsys):
+    """Quick-loop guard for the wired ance->idro path (round-4 shipped a
+    small-L crash only the slow suite could see): one 1-step round, tiny
+    data, single device. The 2-layer checkpoint with the DEFAULT
+    idro-last-k (3) exercises the K>=L clamp end-to-end through cmd_ance ->
+    build_train_step(idro)."""
+    data = _write_marco(tmp_path)
+    ck = str(tmp_path / "ck_idro_quick")
+    main([
+        "ance",
+        "--data-dir", str(data),
+        "--checkpoint", hf_checkpoint,
+        "--ckpt-dir", ck,
+        "--rounds", "1",
+        "--steps-per-round", "1",
+        "--batch-size", "4",
+        "--n-groups", "2",
+        "--loss-kind", "idro",
+        "--compile-cache", "",
+    ])
+    out = capsys.readouterr().out
+    recs = [json.loads(line) for line in out.splitlines()
+            if line.startswith("{")]
+    rounds = [r for r in recs if "round" in r]
+    assert rounds and rounds[0]["steps"] >= 1
+
+
 @pytest.mark.slow
 @pytest.mark.parametrize("loss_args", [
     ["--loss-kind", "dro-greedy", "--weight-ema"],

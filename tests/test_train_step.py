@@ -221,6 +221,59 @@ def test_idro_group_pass_variants_match():
     )
 
 
+@pytest.mark.quick
+@pytest.mark.parametrize("lane", [False, True], ids=["gram", "lane"])
+def test_idro_small_l_clamps_last_k(lane):
+    """Regression (round-4 shipped crash): a model with num_hidden_layers <=
+    idro_last_k_layers (2-layer test checkpoints, default K=3) must route to
+    a clamped full-stack group pass — the reference's last-k selection
+    (dro_loss.py:179-183) degenerates to all layers — not assert. The clamped
+    K=3 step must equal an explicit K=L step bit-for-bit."""
+    dro = DroConfig(n_groups=4)
+    bert = BertConfig.tiny()  # 2 layers < default K=3
+    assert bert.num_hidden_layers == 2
+    model = build_dual_encoder("rdot_nll", bert)
+    B, S = 8, 12
+    rng = np.random.RandomState(4)
+    ids = rng.randint(1, 100, size=(B, S)).astype(np.int32)
+    batch = {
+        "q_ids": jnp.asarray(ids),
+        "q_mask": jnp.ones((B, S), jnp.int32),
+        "pos_ids": jnp.asarray(np.roll(ids, 1, 1)),
+        "pos_mask": jnp.ones((B, S), jnp.int32),
+        "neg_ids": jnp.asarray(ids[::-1].copy()),
+        "neg_mask": jnp.ones((B, S), jnp.int32),
+        "groups": jnp.asarray(rng.randint(0, 4, B)),
+    }
+    params = model.init(
+        jax.random.PRNGKey(0), batch["q_ids"][:1], batch["q_mask"][:1]
+    )["params"]
+    tx = lamb(warmup_linear(5e-4, 2, 100))
+
+    results = []
+    for k in (3, 2):  # clamped vs explicit full-stack
+        state = TrainState.create(params, tx, extra=idro_init(dro))
+        step = build_train_step(
+            model, tx,
+            TrainStepConfig(loss_kind="idro", dro=dro, idro_last_k_layers=k,
+                            idro_lane_group_pass=lane),
+        )
+        state, m = step(state, batch)
+        results.append((state, m))
+    (s3, m3), (s2, m2) = results
+    assert np.isfinite(float(m3["loss"]))
+    np.testing.assert_allclose(float(m3["loss"]), float(m2["loss"]), rtol=0)
+    np.testing.assert_allclose(
+        np.asarray(s3.extra.h_fun), np.asarray(s2.extra.h_fun), rtol=0
+    )
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_array_equal(
+            np.asarray(a), np.asarray(b)
+        ),
+        s3.params, s2.params,
+    )
+
+
 @pytest.mark.slow
 def test_idro_lane_g50_two_tower_steps_on_mesh():
     """The reference's published n_groups=50 (ANCE/README.md
