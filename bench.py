@@ -1,6 +1,7 @@
 #!/usr/bin/env python
 """Benchmark: corpus-encode throughput (docs/sec) of the flagship dual
-encoder (BERT-base, bf16, S=128) on one TPU chip, plus exact-MIPS QPS.
+encoder (BERT-base, bf16, S=128) on one TPU chip, plus exact-MIPS QPS,
+train-step, COCO-step, and end-to-end serving throughput.
 
 Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": ..., "vs_baseline": N, ...extras}
@@ -10,37 +11,80 @@ Baseline proxy = 800 docs/sec/GPU — a generous public estimate for BERT-base
 fp16 inference at S=128 on one V100 of the reference's 8-GPU cluster
 (README.md:36 docker pins CUDA 11.3-era hardware).
 
+Architecture (wedge-proof, round 5): the parent process never imports JAX.
+Each sub-bench runs sequentially in its OWN child process
+(`python bench.py --sub NAME --out FILE`); the parent enforces a wall-clock
+budget per child and SIGKILLs the whole process group on timeout. SIGKILL
+works even when the child is wedged inside a blocked compile RPC — unlike
+the old in-process signal.alarm, whose handler only runs between Python
+bytecodes and provably cannot preempt a stuck C call (this zeroed
+BENCH_r04). Children write each metric to the out-file AS IT LANDS
+(tmp+os.replace), and the parent merges every landed metric into
+`.bench_last.json` immediately, so a later wedge can never destroy an
+earlier measurement. The headline encode bench runs FIRST; serve (the most
+wedge-prone compile) runs LAST. `.bench_last.json` is committed as a seed
+so even a fresh checkout has a fallback for timed-out metrics (flagged
+`stale` in the output).
+
 Timing notes (see .claude/skills/verify/SKILL.md): device results are
 force-read back to host — block_until_ready alone under-reports through the
 axon tunnel; params are device-resident before timing.
 """
 import json
 import os
+import subprocess
 import sys
 import time
 
-import numpy as np
-
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/repo/.jax_cache")
-
-import jax  # noqa: E402
-import jax.numpy as jnp  # noqa: E402
-
-jax.config.update(
-    "jax_compilation_cache_dir",
-    os.environ["JAX_COMPILATION_CACHE_DIR"],
-)
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-
-import dataclasses  # noqa: E402
-
-from cocodr_tpu.models.bert import BertConfig  # noqa: E402
-from cocodr_tpu.models.dual_encoder import build_dual_encoder  # noqa: E402
-
 GPU_BASELINE_DOCS_PER_SEC = 800.0  # single-V100 fp16 proxy, see docstring
+
+_REPO = os.path.dirname(os.path.abspath(__file__))
+LAST_RESULT_PATH = os.path.join(_REPO, ".bench_last.json")
+
+# ---------------------------------------------------------------------------
+# Child side: one sub-bench per process. JAX is imported only here.
+# ---------------------------------------------------------------------------
+
+_CHILD_OUT = [None]  # out-file path; metrics flushed here as they land
+_CHILD_RESULT = {}
+
+
+def _child_emit(key, value):
+    """Record one landed metric and flush the out-file atomically, so the
+    parent recovers everything measured so far even if this child is
+    killed mid-bench."""
+    _CHILD_RESULT[key] = value
+    path = _CHILD_OUT[0]
+    if path is None:
+        return
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(_CHILD_RESULT, f)
+    os.replace(tmp, path)
+
+
+def _child_setup_jax():
+    os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                          os.path.join(_REPO, ".jax_cache"))
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir",
+                      os.environ["JAX_COMPILATION_CACHE_DIR"])
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    return jax
 
 
 def bench_encode(batch=256, seq=128, iters=15):
+    import dataclasses
+
+    import numpy as np
+
+    jax = _child_setup_jax()
+    import jax.numpy as jnp
+
+    from cocodr_tpu.models.bert import BertConfig
+    from cocodr_tpu.models.dual_encoder import build_dual_encoder
+
     cfg = dataclasses.replace(BertConfig(), dtype=jnp.bfloat16)
     model = build_dual_encoder("rdot_nll_condenser", cfg)
     ids = jnp.ones((batch, seq), jnp.int32)
@@ -60,22 +104,34 @@ def bench_encode(batch=256, seq=128, iters=15):
             out = enc(params, ids, mask)
         _ = np.asarray(out)
         best = min(best, (time.time() - t0) / iters)
-    return batch / best, best * 1e3
+    docs_per_sec = batch / best
+    _child_emit("metric", "corpus_encode_throughput_bert_base_bf16_s128")
+    _child_emit("value", round(docs_per_sec, 1))
+    _child_emit("unit", "docs/sec/chip")
+    _child_emit("vs_baseline",
+                round(docs_per_sec / GPU_BASELINE_DOCS_PER_SEC, 2))
+    _child_emit("encode_ms_per_batch_256x128", round(best * 1e3, 2))
 
 
-def bench_mips(n_docs=1_048_576, dim=768, n_queries=1024, k=100, iters=10,
-               best_of=3, fast=False):
+def bench_mips(key, n_docs=1_048_576, dim=768, n_queries=1024, k=100,
+               iters=10, best_of=3, fast=False):
     """Top-k QPS: exact pallas hierarchical kernel, or the rescore-free
     block-argmax fast mode (see ops/pallas_mips). Best of `best_of` timed
     runs — the shared-tunnel chip shows ~10% run-to-run interference, and
     the minimum is the reproducible kernel latency."""
+    import numpy as np
+
+    jax = _child_setup_jax()
+    import jax.numpy as jnp
+
     from cocodr_tpu.ops.pallas_mips import (
         mips_topk_fast,
         mips_topk_hierarchical,
     )
 
     search = mips_topk_fast if fast else mips_topk_hierarchical
-    corpus = jax.random.normal(jax.random.PRNGKey(0), (n_docs, dim), jnp.bfloat16)
+    corpus = jax.random.normal(jax.random.PRNGKey(0), (n_docs, dim),
+                               jnp.bfloat16)
     queries = jax.random.normal(
         jax.random.PRNGKey(1), (n_queries, dim), jnp.bfloat16
     )
@@ -89,10 +145,10 @@ def bench_mips(n_docs=1_048_576, dim=768, n_queries=1024, k=100, iters=10,
             v, _ = search(queries, corpus, k)
         _ = np.asarray(v)
         best = min(best, (time.time() - t0) / iters)
-    return n_queries / best
+    _child_emit(key, round(n_queries / best, 1))
 
 
-def bench_train_step(batch=64, seq=128, q_seq=64, iters=10,
+def bench_train_step(key, batch=64, seq=128, q_seq=64, iters=10,
                      loss_kind="nll"):
     """ANCE-style triplet train step (3 encoder fwd + bwd + LAMB).
     remat keeps the 3-tower backward inside HBM. B=64 is the reference's
@@ -101,8 +157,13 @@ def bench_train_step(batch=64, seq=128, q_seq=64, iters=10,
     128 — the reference's max_query_length/max_seq_length
     (ANCE/drivers/run_ann.py:526,518). loss_kind='idro' measures the DRO
     robust step (per-sample-Gram group pass, reference n_groups=50)."""
-    import optax
+    import dataclasses
 
+    jax = _child_setup_jax()
+    import jax.numpy as jnp
+
+    from cocodr_tpu.models.bert import BertConfig
+    from cocodr_tpu.models.dual_encoder import build_dual_encoder
     from cocodr_tpu.optim import lamb, warmup_linear
     from cocodr_tpu.pipelines.train_step import (
         TrainStepConfig,
@@ -147,17 +208,24 @@ def bench_train_step(batch=64, seq=128, q_seq=64, iters=10,
             state, m = step(state, b)
         _ = float(m["loss"])
         best = min(best, (time.time() - t0) / iters)
-    return batch / best
+    _child_emit(key, round(batch / best, 1))
 
 
-def bench_coco(batch=128, seq=128, iters=8):
+def bench_coco(key, batch=128, seq=128, iters=8):
     """COCO pretraining step: Condenser MLM + c_head + late_mlm + global
     contrastive, B=128 spans (64 docs x 2 spans), bert-base bf16, AdamW —
     the reference stage's per-device work at its published span length, in
     the shipped configuration (no remat — activations fit at B=128; MLM
     gather budget 0.17; both measured fastest, scripts/ab_coco_step.py)."""
+    import dataclasses
+
+    import numpy as np
     import optax
 
+    jax = _child_setup_jax()
+    import jax.numpy as jnp
+
+    from cocodr_tpu.models.bert import BertConfig
     from cocodr_tpu.models.condenser import CoCondenserForPretraining
     from cocodr_tpu.pipelines.coco import CocoConfig, build_coco_train_step
     from cocodr_tpu.utils.train_state import TrainState
@@ -184,26 +252,35 @@ def bench_coco(batch=128, seq=128, iters=8):
     batch_d = jax.device_put(
         {"input_ids": ids, "attention_mask": mask, "labels": labels}
     )
-    key = jax.random.PRNGKey(0)
-    state, m = step(state, batch_d, key)
+    rng_key = jax.random.PRNGKey(0)
+    state, m = step(state, batch_d, rng_key)
     _ = float(m["loss"])
     best = float("inf")
     for _ in range(3):
         t0 = time.time()
         for _ in range(iters):
-            state, m = step(state, batch_d, key)
+            state, m = step(state, batch_d, rng_key)
         _ = float(m["loss"])
         best = min(best, (time.time() - t0) / iters)
-    return batch / best
+    _child_emit(key, round(batch / best, 1))
 
 
 def bench_serve(n_docs=1_048_576, dim=768, batch=64, iters=5, best_of=3):
-    """End-to-end serving: tokenize + encode + exact top-10 at 1M docs."""
+    """End-to-end serving: tokenize + encode + exact top-10 at 1M docs.
+    Emits the blocking number the moment it is measured — if the pipelined
+    phase wedges and the parent kills this child, blocking survives."""
+    import dataclasses
     import pathlib
     import tempfile
 
+    import numpy as np
     import transformers
 
+    jax = _child_setup_jax()
+    import jax.numpy as jnp
+
+    from cocodr_tpu.models.bert import BertConfig
+    from cocodr_tpu.models.dual_encoder import build_dual_encoder
     from cocodr_tpu.pipelines.serve import RetrievalService, ServeConfig
 
     d = pathlib.Path(tempfile.mkdtemp())
@@ -233,10 +310,7 @@ def bench_serve(n_docs=1_048_576, dim=768, batch=64, iters=5, best_of=3):
         for _ in range(iters):
             svc.search(queries)
         best = min(best, (time.time() - t0) / iters)
-    qps_blocking = batch / best
-    # record immediately: if the pipelined phase below wedges and the
-    # alarm fires, the already-measured blocking number must survive
-    RESULT["serve_qps_end_to_end_1M_docs"] = round(qps_blocking, 1)
+    _child_emit("serve_qps_end_to_end_1M_docs", round(batch / best, 1))
     # pipelined bulk mode: up to `depth` batches in flight, grouped
     # readbacks — the per-call round trip amortizes away (serve.py
     # search_stream)
@@ -246,13 +320,82 @@ def bench_serve(n_docs=1_048_576, dim=768, batch=64, iters=5, best_of=3):
         for _ in svc.search_stream([queries] * 20, depth=16):
             pass
         best = min(best, (time.time() - t0) / 20)
-    return qps_blocking, batch / best
+    _child_emit("serve_qps_pipelined_1M_docs", round(batch / best, 1))
 
 
-LAST_RESULT_PATH = os.path.join(os.path.dirname(__file__), ".bench_last.json")
+def _selftest_wedge():
+    """Test-only sub (not in SUB_ORDER): emit one metric, then wedge
+    EXACTLY like a stuck compile RPC — SIGSTOP self, so no Python signal
+    handler can ever run. The parent's process-group SIGKILL must still
+    reap it and recover the landed metric (tests/test_bench_harness.py)."""
+    import signal
 
-# Mutated in place as each sub-bench lands, so the global watchdog can emit
-# every fresh number collected so far instead of replaying the whole cache.
+    _child_emit("selftest_landed", 1)
+    os.kill(os.getpid(), signal.SIGSTOP)
+    time.sleep(3600)
+    _child_emit("selftest_should_never_land", 1)
+
+
+# (name, thunk, budget_s). Headline encode FIRST: cheapest + most-cached,
+# so it always survives. Serve LAST: its tokenize+encode+search graph is
+# the most wedge-prone compile, and a wedge there must not shadow anything.
+SUBS = {
+    "_selftest_wedge": (_selftest_wedge, 0),  # test-only, never scheduled
+    "encode": (lambda: bench_encode(), 240),
+    "mips_exact": (
+        lambda: bench_mips("mips_exact_qps_1M_docs_k100"), 300),
+    "mips_fast": (
+        lambda: bench_mips("mips_fast_qps_1M_docs_k100", fast=True), 240),
+    "train": (
+        lambda: bench_train_step("train_triplets_per_sec_bert_base"), 300),
+    "idro": (
+        lambda: bench_train_step("train_idro_triplets_per_sec",
+                                 loss_kind="idro"), 300),
+    "coco": (lambda: bench_coco("coco_spans_per_sec_bert_base"), 300),
+    "serve": (lambda: bench_serve(), 420),
+}
+SUB_ORDER = ["encode", "mips_exact", "mips_fast", "train", "idro", "coco",
+             "serve"]
+
+# Keys a sub must land to count as fresh (drives the parent's retry
+# decision). serve's pipelined key is the completion marker; the blocking
+# key landing alone still survives a later wedge.
+SUB_KEYS = {
+    "encode": ["value"],
+    "mips_exact": ["mips_exact_qps_1M_docs_k100"],
+    "mips_fast": ["mips_fast_qps_1M_docs_k100"],
+    "train": ["train_triplets_per_sec_bert_base"],
+    "idro": ["train_idro_triplets_per_sec"],
+    "coco": ["coco_spans_per_sec_bert_base"],
+    "serve": ["serve_qps_end_to_end_1M_docs", "serve_qps_pipelined_1M_docs"],
+}
+
+# Scheduling groups: one child process per GROUP, subs run sequentially
+# inside it, each metric flushed to the out-file as it lands. Grouping
+# amortizes the ~40-60s per-child fixed cost (JAX init + tunnel device
+# discovery) that made 7 fully-isolated children overrun the 850s driver
+# budget even all-warm; a wedge mid-group only loses the group's
+# REMAINING subs, and the parent re-runs exactly those solo (full
+# isolation on retry). Encode leads its group so the headline lands
+# first; serve stays alone (most wedge-prone compile).
+GROUPS = [
+    (["encode", "train", "idro", "coco"], 480),
+    (["mips_exact", "mips_fast"], 360),
+    (["serve"], 420),
+]
+
+
+def _child_main(names, out_path):
+    _CHILD_OUT[0] = out_path
+    for name in names.split(","):
+        fn, _ = SUBS[name]
+        fn()
+
+
+# ---------------------------------------------------------------------------
+# Parent side: pure Python, no JAX. Budget enforcement via process kill.
+# ---------------------------------------------------------------------------
+
 RESULT = {}
 
 
@@ -264,7 +407,29 @@ def _load_cache():
         return {}
 
 
-def _emit(result):
+def _persist():
+    """Merge every fresh metric into the per-metric cache (merge, never
+    clobber: a partial run must not destroy the cached values it would
+    fall back on). Called after EVERY sub-bench, not only at the end."""
+    cache = {
+        k: v for k, v in _load_cache().items()
+        if not k.startswith("stale") and not k.endswith("_error")
+        and not k.endswith("_group_note")
+    }
+    fresh = {k: v for k, v in RESULT.items()
+             if not k.endswith("_error") and not k.endswith("_group_note")}
+    tmp = LAST_RESULT_PATH + ".tmp"
+    try:
+        with open(tmp, "w") as f:
+            json.dump({**cache, **fresh}, f, indent=0)
+            f.write("\n")
+        os.replace(tmp, LAST_RESULT_PATH)
+    except OSError:
+        pass
+
+
+def _emit():
+    result = dict(RESULT)
     cache = _load_cache()
     stale_keys = [
         k for k in cache
@@ -290,134 +455,124 @@ def _emit(result):
     print(json.dumps(ordered))
 
 
-class _BenchTimeout(Exception):
-    pass
+def _run_child(name, budget, first_deadline=None):
+    """Run one sub-bench in a child process under a hard wall-clock budget.
+    Returns (landed_metrics_dict, error_or_None). The child is its own
+    session leader; on timeout the entire group gets SIGKILL — this
+    preempts wedged compile RPCs and even SIGSTOPped children.
 
-
-def _run(fn, budget, retries=1):
-    """Run fn under a SIGALRM budget; retry once with a fresh alarm before
-    giving up (the remote compile service wedges transiently — a retry
-    usually lands because the persistent cache has the partial compiles).
-
-    Budgets are clamped to the global deadline so the sum of sub-bench
-    retries can never push the final emit past the driver's outer budget;
-    with <45s left, sub-benches fail fast and fall back to the cache."""
+    first_deadline: seconds the child gets to land its FIRST metric. The
+    compile service wedges most often on a process's first compile; with
+    the committed warm cache the first metric lands in ~90-150s, so a
+    child silent past this deadline is wedged and killing it early hands
+    the remaining budget to a fresh process instead of burning the full
+    group budget (solo retries reliably un-wedge)."""
     import signal
+    import tempfile
 
-    if _DEADLINE[0] is not None:
-        remaining = int(_DEADLINE[0] - time.time())
-        if remaining < 45:
-            raise _BenchTimeout("global deadline reached")
-        budget = min(budget, remaining - 15)
-
-    def on_alarm(signum, frame):
-        raise _BenchTimeout()
-
-    for _ in range(retries + 1):
-        old = signal.signal(signal.SIGALRM, on_alarm)
-        signal.alarm(budget)
+    fd, out_path = tempfile.mkstemp(
+        suffix=".json", prefix="bench_" + name.replace(",", "-") + "_")
+    os.close(fd)
+    os.unlink(out_path)  # child creates it on first landed metric
+    err = None
+    proc = subprocess.Popen(
+        [sys.executable, os.path.abspath(__file__), "--sub", name,
+         "--out", out_path],
+        stdout=subprocess.DEVNULL,
+        stderr=subprocess.PIPE,
+        start_new_session=True,
+        cwd=_REPO,
+    )
+    t0 = time.time()
+    timed_out = None
+    while True:
         try:
-            return fn()
-        except _BenchTimeout:
-            continue
-        finally:
-            signal.alarm(0)
-            signal.signal(signal.SIGALRM, old)
-    raise _BenchTimeout(f"timed out twice ({budget}s budget)")
-
-
-def _finalize():
-    """Persist fresh metrics into the per-metric cache (merge, never
-    clobber: a partial run must not destroy the cached values it would
-    fall back on), then emit."""
-    cache = {
-        k: v for k, v in _load_cache().items()
-        if not k.startswith("stale") and not k.endswith("_error")
-    }
-    fresh = {k: v for k, v in RESULT.items() if not k.endswith("_error")}
+            _, stderr = proc.communicate(timeout=5)
+            if proc.returncode != 0:
+                tail = (stderr or b"").decode("utf-8", "replace").strip()
+                err = f"exit {proc.returncode}: {tail[-180:]}"
+            break
+        except subprocess.TimeoutExpired:
+            elapsed = time.time() - t0
+            if elapsed >= budget:
+                timed_out = f"killed after {budget}s budget"
+            elif (first_deadline is not None and elapsed >= first_deadline
+                  and not os.path.exists(out_path)):
+                timed_out = (
+                    f"killed: no metric landed in {first_deadline}s "
+                    "(wedged first compile)")
+            if timed_out:
+                try:
+                    os.killpg(proc.pid, signal.SIGKILL)
+                except (ProcessLookupError, PermissionError):
+                    proc.kill()
+                proc.wait()
+                err = timed_out
+                break
+    data = {}
     try:
-        with open(LAST_RESULT_PATH, "w") as f:
-            json.dump({**cache, **fresh}, f)
+        with open(out_path) as f:
+            data = json.load(f)
+    except (OSError, ValueError):
+        pass
+    try:
+        os.unlink(out_path)
     except OSError:
         pass
-    _emit(RESULT)
+    return data, err
 
 
-_DEADLINE = [None]  # wall-clock time.time() the whole bench must emit by
+def _landed(name):
+    return all(k in RESULT for k in SUB_KEYS[name])
 
 
-def _watchdog(seconds=850):
-    """Last-resort guard: if the whole bench wedges, emit what was measured
-    so far (plus cached values for the rest) instead of hanging the driver.
-
-    Uses a daemon thread timer, NOT signal.alarm: each `_run` sub-budget
-    already owns the process's single SIGALRM timer, and its
-    `signal.alarm(0)` cleanup would silently cancel a watchdog alarm
-    (observed: the bench ran past the driver's outer budget with zero
-    output). 850s keeps the emit inside a ~900s driver budget."""
-    import threading
-
-    _DEADLINE[0] = time.time() + seconds
-
-    def on_timeout():
-        _finalize()
-        os._exit(0)
-
-    t = threading.Timer(seconds, on_timeout)
-    t.daemon = True
-    t.start()
-
-
-def _preimport():
-    """Import every heavy module BEFORE any alarm can fire: a _BenchTimeout
-    raised mid-import leaves a half-initialized module that poisons the
-    in-process retry (observed: pallas config double-registration)."""
-    import transformers  # noqa: F401
-
-    import cocodr_tpu.ops.pallas_mips  # noqa: F401
-    import cocodr_tpu.optim  # noqa: F401
-    import cocodr_tpu.pipelines.serve  # noqa: F401
-    import cocodr_tpu.pipelines.train_step  # noqa: F401
-    import cocodr_tpu.utils.train_state  # noqa: F401
-
-
-def main():
-    _preimport()
-    _watchdog()
-    # Serve first: it compiles the most wedge-prone shapes (tokenize +
-    # encode + search in one graph) — run them while the compile service
-    # is fresh rather than last.
-    try:
-        blocking, piped = _run(bench_serve, budget=420)
-        RESULT["serve_qps_end_to_end_1M_docs"] = round(blocking, 1)
-        RESULT["serve_qps_pipelined_1M_docs"] = round(piped, 1)
-    except Exception as e:
-        RESULT["serve_error"] = str(e)[:200]
-    try:
-        docs_per_sec, ms_per_batch = _run(bench_encode, budget=240)
-        RESULT.update({
-            "metric": "corpus_encode_throughput_bert_base_bf16_s128",
-            "value": round(docs_per_sec, 1),
-            "unit": "docs/sec/chip",
-            "vs_baseline": round(docs_per_sec / GPU_BASELINE_DOCS_PER_SEC, 2),
-            "encode_ms_per_batch_256x128": round(ms_per_batch, 2),
-        })
-    except Exception as e:
-        RESULT["encode_error"] = str(e)[:200]  # headline filled by _emit
-    for key, fn, budget in (
-        ("mips_exact_qps_1M_docs_k100", bench_mips, 300),
-        ("mips_fast_qps_1M_docs_k100", lambda: bench_mips(fast=True), 240),
-        ("train_triplets_per_sec_bert_base", bench_train_step, 240),
-        ("train_idro_triplets_per_sec",
-         lambda: bench_train_step(loss_kind="idro"), 240),
-        ("coco_spans_per_sec_bert_base", bench_coco, 240),
-    ):
-        try:
-            RESULT[key] = round(_run(fn, budget=budget), 1)
-        except Exception as e:
-            RESULT[key + "_error"] = str(e)[:200]
-    _finalize()
+def main(total_budget=850):
+    deadline = time.time() + total_budget
+    for names, budget in GROUPS:
+        remaining = deadline - time.time()
+        if remaining < 30:
+            continue
+        data, err = _run_child(
+            ",".join(names), int(min(budget, remaining - 10)),
+            first_deadline=210,
+        )
+        RESULT.update(data)
+        if err is not None:
+            RESULT[names[-1] + "_group_note"] = err
+        _persist()  # each metric lands durably before the next group runs
+    # Solo retry sweeps for whatever a group wedge swallowed: full process
+    # isolation per attempt. The compile service wedges a child's first
+    # RPC with high probability when degraded, and a fresh process
+    # reliably un-wedges — so MANY short-deadline attempts beat one
+    # long-budget attempt: keep sweeping the missing subs until the
+    # deadline, killing any child silent past first_deadline.
+    while True:
+        missing = [n for n in SUB_ORDER if not _landed(n)]
+        if not missing or deadline - time.time() < 60:
+            break
+        for name in missing:
+            remaining = deadline - time.time()
+            if remaining < 60:
+                break
+            _, budget = SUBS[name]
+            data, err = _run_child(
+                name, int(min(budget, remaining - 10)), first_deadline=180)
+            RESULT.update(data)
+            if err is not None and not _landed(name):
+                RESULT[name + "_error"] = err
+            else:
+                RESULT.pop(name + "_error", None)
+            _persist()
+    for name in SUB_ORDER:
+        if _landed(name):
+            RESULT.pop(name + "_error", None)
+        elif name + "_error" not in RESULT:
+            RESULT[name + "_error"] = "skipped: global deadline reached"
+    _emit()
 
 
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) > 1 and sys.argv[1] == "--sub":
+        _child_main(sys.argv[2], sys.argv[4])
+    else:
+        main()

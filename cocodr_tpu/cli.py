@@ -247,6 +247,78 @@ def cmd_eval_beir(args):
     print(json.dumps(metrics, indent=2))
 
 
+# Published BEIR-avg nDCG@10 per released checkpoint (reference
+# README.md:72-81). Keyed by checkpoint dir basename / hub name tail so
+# `parity --checkpoint /ckpts/cocodr-base-msmarco` resolves its target
+# automatically the day checkpoints mount.
+EXPECTED_BEIR_AVG = {
+    "cocodr-base-msmarco": 0.461,
+    "cocodr-base-msmarco-idro-only": 0.447,
+    "cocodr-base-msmarco-warmup": 0.435,
+    "cocodr-base": 0.288,
+    "cocodr-large-msmarco": 0.484,
+    "cocodr-large-msmarco-idro-only": 0.462,
+    "cocodr-large-msmarco-warmup": 0.456,
+    "cocodr-large": 0.316,
+}
+
+
+def cmd_parity(args):
+    """One-command quality-parity check (round-4 verdict ask #8): given a
+    published-checkpoint dir and one or more BEIR task dirs, run
+    convert -> encode -> exact search -> nDCG@10 and print the comparison
+    against the reference's published numbers (reference README.md:72-81).
+    Exit code 1 on FAIL so it gates in CI the day checkpoints mount."""
+    _setup_jax(args)
+    from cocodr_tpu.pipelines.eval_beir import eval_beir
+
+    model, params, _ = _load_model_params(args.checkpoint, args.model_type)
+    tokenizer = _load_tokenizer(args.tokenizer or args.checkpoint)
+    kw = {}
+    if args.query_len:
+        kw["query_len"] = args.query_len
+    if args.doc_len:
+        kw["doc_len"] = args.doc_len
+    per_task = {}
+    for data_dir in args.beir_dir:
+        task = os.path.basename(os.path.normpath(data_dir))
+        metrics = eval_beir(
+            model, params, data_dir,
+            os.path.join(args.work_dir, task), tokenizer, task=task,
+            batch_size=args.batch_size, top_k=args.top_k,
+            exact_fp32=args.exact_fp32, **kw,
+        )
+        per_task[task] = metrics["ndcg_cut_10"]
+        print(f"{task}: nDCG@10 = {metrics['ndcg_cut_10']:.4f}")
+    avg = sum(per_task.values()) / len(per_task)
+    expected = args.expect_ndcg
+    if expected is None:
+        name = os.path.basename(os.path.normpath(args.checkpoint))
+        expected = EXPECTED_BEIR_AVG.get(name)
+    result = {
+        "checkpoint": args.checkpoint,
+        "tasks": per_task,
+        "avg_ndcg_cut_10": round(avg, 4),
+        "expected": expected,
+    }
+    if expected is not None:
+        ok = abs(avg - expected) <= args.tolerance
+        result["parity"] = "PASS" if ok else "FAIL"
+        print(
+            f"parity {result['parity']}: avg nDCG@10 {avg:.4f} vs published "
+            f"{expected:.4f} (+/-{args.tolerance}) "
+            f"[reference README.md:72-81]"
+        )
+    else:
+        print(
+            "no published number for this checkpoint name; pass "
+            "--expect-ndcg (known: " + ", ".join(EXPECTED_BEIR_AVG) + ")"
+        )
+    print(json.dumps(result))
+    if result.get("parity") == "FAIL":
+        sys.exit(1)
+
+
 def cmd_preprocess_msmarco(args):
     from cocodr_tpu.data.preprocess import (
         rewrite_qrels,
@@ -1140,6 +1212,30 @@ def main(argv=None):
                     help="W8A8 int8 FFN blocks for corpus/query encoding "
                          "(PTQ inference mode)")
     sp.set_defaults(fn=cmd_eval_beir)
+
+    sp = sub.add_parser(
+        "parity",
+        help="published-checkpoint quality parity vs reference "
+             "README.md:72-81 (convert -> encode -> exact search -> nDCG@10)")
+    _add_common(sp)
+    sp.add_argument("--checkpoint", required=True,
+                    help="HF checkpoint dir (e.g. a mounted "
+                         "OpenMatch/cocodr-base-msmarco)")
+    sp.add_argument("--beir-dir", action="append", required=True,
+                    help="BEIR task dir (corpus.jsonl/queries.jsonl/qrels); "
+                         "repeat for multi-task average")
+    sp.add_argument("--work-dir", default="/tmp/cocodr_parity")
+    sp.add_argument("--tokenizer", default=None)
+    sp.add_argument("--model-type", default="rdot_nll_condenser")
+    sp.add_argument("--batch-size", type=int, default=512)
+    sp.add_argument("--top-k", type=int, default=1000)
+    sp.add_argument("--query-len", type=int, default=0)
+    sp.add_argument("--doc-len", type=int, default=0)
+    sp.add_argument("--exact-fp32", action="store_true")
+    sp.add_argument("--expect-ndcg", type=float, default=None,
+                    help="override the built-in published target")
+    sp.add_argument("--tolerance", type=float, default=0.005)
+    sp.set_defaults(fn=cmd_parity)
 
     sp = sub.add_parser("encode")
     _add_common(sp)

@@ -52,10 +52,13 @@ def main():
     # rescore einsum) — rel diffs ~1.6e-3 reorder the tightly-clustered
     # Gaussian tail, so compare the top-k SET, not elementwise ranks
     overlap = np.mean([
-        len(set(i2[q].tolist()) & set(ih[q].tolist())) / K
-        for q in range(Q)
+        len(set(i2[qi].tolist()) & set(ih[qi].tolist())) / K
+        for qi in range(Q)
     ])
     print(f"top-{K} set overlap exact2 vs hierarchical: {overlap:.6f}")
+    # hard floor: an index-quality regression (overlap sliding under the
+    # loosened score rtol) must fail this A/B, not pass silently
+    assert overlap >= 0.999, f"top-{K} set overlap regressed: {overlap}"
     np.testing.assert_allclose(v2, vh, rtol=5e-3)
     print("scores match (rtol 5e-3, cross-path bf16 accumulation noise)")
 

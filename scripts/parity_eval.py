@@ -1,6 +1,11 @@
 #!/usr/bin/env python
 """Quality-parity harness: published COCO-DR checkpoint x BEIR task.
 
+Superseded by the CLI subcommand (kept for single-task use):
+    python -m cocodr_tpu.cli parity --checkpoint ... --beir-dir ...
+which adds the built-in published-number table (reference README.md:72-81)
+and multi-task averaging; see docs/commands.md.
+
 This environment has no network egress, so the hub checkpoints and BEIR
 datasets cannot be fetched here; this script is the ready-to-run parity
 path for an environment where they are mounted:

@@ -1,0 +1,192 @@
+#!/usr/bin/env python
+"""COCO-step cost accounting (VERDICT r4 ask #5): where do the ms/step go?
+
+Two instruments, same shapes as the shipped bench (B=128 spans, S=128,
+bert-base bf16, AdamW, mlm_budget 0.17, no remat — bench.py bench_coco):
+
+1. Ablation ladder: jit a sequence of partial steps and report MARGINAL
+   costs — backbone fwd, +c_head, +MLM pair, +contrastive, bwd, optimizer.
+   Each is the full shipped computation minus one term, so differences
+   attribute wall time to components without trusting fusion names.
+2. Device trace of the full step (jax.profiler) -> parse with
+   scripts/parse_trace.py for the per-fusion view.
+
+Run on the TPU: python -u scripts/trace_coco_step.py [--trace]
+"""
+import dataclasses
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+from cocodr_tpu.models.bert import BertConfig
+from cocodr_tpu.models.condenser import CoCondenserForPretraining
+from cocodr_tpu.pipelines.coco import CocoConfig, build_coco_train_step
+from cocodr_tpu.utils.train_state import TrainState
+
+B, S = 128, 128
+TRACE_OUT = "/tmp/coco_step_trace"
+
+
+def make_model(**kw):
+    cfg = dataclasses.replace(BertConfig(), dtype=jnp.bfloat16)
+    kw.setdefault("n_head_layers", 2)
+    kw.setdefault("skip_from", 6)
+    kw.setdefault("late_mlm", True)
+    kw.setdefault("mlm_budget_frac", 0.17)
+    return CoCondenserForPretraining(cfg, **kw)
+
+
+def make_batch():
+    rng = np.random.RandomState(0)
+    ids = jnp.asarray(rng.randint(1000, 20000, (B, S)).astype(np.int32))
+    mask = jnp.ones((B, S), jnp.int32)
+    labels = jnp.asarray(
+        np.where(rng.rand(B, S) < 0.15,
+                 rng.randint(5, 1000, size=(B, S)), -100).astype(np.int32)
+    )
+    return {"input_ids": ids, "attention_mask": mask, "labels": labels}
+
+
+def timeit(fn, *args, iters=8, best_of=3):
+    out = fn(*args)
+    jax.block_until_ready(out)
+    _ = np.asarray(jax.tree_util.tree_leaves(out)[0])  # tunnel readback
+    best = float("inf")
+    for _ in range(best_of):
+        t0 = time.time()
+        for _ in range(iters):
+            out = fn(*args)
+        _ = np.asarray(jax.tree_util.tree_leaves(out)[0])
+        best = min(best, (time.time() - t0) / iters)
+    return best * 1e3  # ms
+
+
+def main():
+    print("platform:", jax.devices()[0].platform, flush=True)
+    batch = make_batch()
+    key = jax.random.PRNGKey(0)
+
+    model = make_model()
+    params = model.init(
+        jax.random.PRNGKey(0), batch["input_ids"][:2],
+        batch["attention_mask"][:2], batch["labels"][:2]
+    )["params"]
+    tx = optax.adamw(1e-4)
+    state = jax.device_put(TrainState.create(params, tx))
+
+    rows = []
+
+    def row(name, ms):
+        rows.append((name, ms))
+        print(f"{name:44s} {ms:8.2f} ms  ({B/ms*1e3:6.0f} spans/s)",
+              flush=True)
+
+    # --- forward-only ladder -------------------------------------------
+    p = state.params
+
+    @jax.jit
+    def f_backbone(p):
+        return model.apply({"params": p}, batch["input_ids"],
+                           batch["attention_mask"], method=model.cls_emb)
+
+    row("fwd: backbone only (cls_emb)", timeit(f_backbone, p))
+
+    @jax.jit
+    def f_full(p):
+        loss, aux = model.apply(
+            {"params": p}, batch["input_ids"], batch["attention_mask"],
+            batch["labels"], method=model.loss_with_contrastive)
+        return loss
+
+    row("fwd: full loss (+c_head+MLM pair+contr)", timeit(f_full, p))
+
+    # --- grad ladder: full grad minus one term each --------------------
+    def grad_of(m, method_name="loss_with_contrastive"):
+        def lf(p):
+            out = m.apply({"params": p}, batch["input_ids"],
+                          batch["attention_mask"], batch["labels"],
+                          method=getattr(m, method_name))
+            loss = out[0] if isinstance(out, tuple) else out
+            return loss
+
+        return jax.jit(lambda p: jax.grad(lf)(p))
+
+    g_full = grad_of(model)
+    full_params = state.params
+    row("grad: full loss", timeit(g_full, full_params))
+
+    # no contrastive (plain Condenser __call__ loss)
+    row("grad: -contrastive (MLM pair only)",
+        timeit(grad_of(model, "__call__"), full_params))
+
+    # no late_mlm (single MLM loss on c_head)
+    m2 = make_model(late_mlm=False)
+    row("grad: -late_mlm (head MLM only)", timeit(grad_of(m2), full_params))
+
+    # no c_head (0 head layers; MLM pair on [CLS,skip] concat directly)
+    m3 = make_model(n_head_layers=0)
+    p3 = {k: v for k, v in full_params.items()
+          if not k.startswith("c_head")}
+    row("grad: -c_head (0 head layers)", timeit(grad_of(m3), p3))
+
+    # dense MLM decoder (budget off) — is the 0.17 gather still paying?
+    m4 = make_model(mlm_budget_frac=1.0)
+    row("grad: dense MLM decoder (budget off)",
+        timeit(grad_of(m4), full_params))
+
+    # --- full shipped step (grad + clip + adamw) -----------------------
+    step = build_coco_train_step(model, tx, CocoConfig(max_seq_length=S))
+
+    def run_step(state):
+        s2, m = step(state, batch, key)
+        return s2, m
+
+    s2, m = step(state, batch, key)
+    _ = float(m["loss"])
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.time()
+        s = state
+        for _ in range(8):
+            s, m = step(s, batch, key)
+        _ = float(m["loss"])
+        best = min(best, (time.time() - t0) / 8)
+    row("FULL STEP (shipped: grad+clip+adamw)", best * 1e3)
+
+    print("\nmarginals (ms):", flush=True)
+    d = dict(rows)
+    fwd = d["fwd: full loss (+c_head+MLM pair+contr)"]
+    grad = d["grad: full loss"]
+    print(f"  backbone fwd                 {d['fwd: backbone only (cls_emb)']:8.2f}")
+    print(f"  heads+losses fwd             {fwd - d['fwd: backbone only (cls_emb)']:8.2f}")
+    print(f"  backward (grad - fwd)        {grad - fwd:8.2f}")
+    print(f"  contrastive marginal         {grad - d['grad: -contrastive (MLM pair only)']:8.2f}")
+    print(f"  late_mlm marginal            {grad - d['grad: -late_mlm (head MLM only)']:8.2f}")
+    print(f"  c_head marginal              {grad - d['grad: -c_head (0 head layers)']:8.2f}")
+    print(f"  dense-MLM penalty            {d['grad: dense MLM decoder (budget off)'] - grad:8.2f}")
+    print(f"  optimizer+clip marginal      {d['FULL STEP (shipped: grad+clip+adamw)'] - grad:8.2f}")
+
+    if "--trace" in sys.argv:
+        print("\ntracing full step ...", flush=True)
+        jax.profiler.start_trace(TRACE_OUT)
+        s = state
+        for _ in range(4):
+            s, m = step(s, batch, key)
+        _ = float(m["loss"])
+        jax.profiler.stop_trace()
+        print("trace ->", TRACE_OUT,
+              "(parse: python scripts/parse_trace.py", TRACE_OUT + ")",
+              flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,116 @@
+"""bench.py wedge-proofing (VERDICT r4 ask #2). BENCH_r04 was zeros
+because a wedged compile RPC cannot be preempted by signal.alarm; the
+round-5 harness runs each sub-bench in a child process and SIGKILLs the
+process group on budget. These tests prove the two contracts that failed
+in round 4, without touching JAX or the TPU:
+
+1. a child wedged in un-interruptible state (SIGSTOP — strictly harder
+   than a blocked RPC: not even a C-level signal handler runs) is killed
+   at budget and every metric it landed BEFORE wedging is recovered;
+2. the parent emits a valid headline JSON line even when every sub-bench
+   fails, falling back to the committed `.bench_last.json` seed with an
+   explicit stale flag.
+"""
+import importlib.util
+import json
+import subprocess
+import sys
+import time
+from pathlib import Path
+
+import pytest
+
+REPO = Path(__file__).resolve().parent.parent
+
+
+def _load_bench():
+    spec = importlib.util.spec_from_file_location("bench", REPO / "bench.py")
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+@pytest.mark.quick
+def test_wedged_child_is_killed_and_partial_metrics_survive():
+    bench = _load_bench()
+    t0 = time.time()
+    data, err = bench._run_child("_selftest_wedge", budget=10)
+    elapsed = time.time() - t0
+    assert data == {"selftest_landed": 1}, data
+    assert err is not None and "killed" in err
+    # killed at the 10s budget, not after the child's 3600s sleep
+    assert elapsed < 60
+
+
+@pytest.mark.quick
+def test_parent_never_imports_jax():
+    """The parent must stay JAX-free: a parent that holds the TPU or a
+    wedged backend would break every child. Import bench.py and scan
+    sys.modules — no jax."""
+    before = set(sys.modules)
+    _load_bench()
+    new = set(sys.modules) - before
+    assert not any(m == "jax" or m.startswith("jax.") for m in new)
+
+
+@pytest.mark.quick
+def test_seed_cache_is_committed_and_loadable():
+    """A fresh checkout must have a fallback for timed-out metrics
+    (round-4 failure: gitignored cache -> zeros). The seed file must be
+    tracked by git and contain the full metric set."""
+    seed = REPO / ".bench_last.json"
+    assert seed.exists(), ".bench_last.json seed missing"
+    tracked = subprocess.run(
+        ["git", "ls-files", ".bench_last.json"], cwd=REPO,
+        capture_output=True, text=True,
+    ).stdout.strip()
+    assert tracked, ".bench_last.json must be git-tracked (it was "
+    "gitignored in round 4, which zeroed BENCH_r04)"
+    cache = json.loads(seed.read_text())
+    for key in (
+        "metric", "value",
+        "mips_exact_qps_1M_docs_k100",
+        "train_triplets_per_sec_bert_base",
+        "coco_spans_per_sec_bert_base",
+        "serve_qps_end_to_end_1M_docs",
+    ):
+        assert key in cache, f"seed cache missing {key}"
+    assert cache["value"] > 0
+
+
+@pytest.mark.quick
+def test_emit_falls_back_to_cache_with_stale_flag(tmp_path, capsys,
+                                                  monkeypatch):
+    bench = _load_bench()
+    cache = tmp_path / "cache.json"
+    cache.write_text(json.dumps({
+        "metric": "corpus_encode_throughput_bert_base_bf16_s128",
+        "value": 1234.5, "unit": "docs/sec/chip", "vs_baseline": 1.5,
+        "mips_exact_qps_1M_docs_k100": 42.0,
+    }))
+    monkeypatch.setattr(bench, "LAST_RESULT_PATH", str(cache))
+    bench.RESULT.clear()
+    bench.RESULT["encode_error"] = "killed after 240s budget"
+    bench._emit()
+    out = json.loads(capsys.readouterr().out)
+    assert out["value"] == 1234.5
+    assert out["stale"] is True
+    assert "mips_exact_qps_1M_docs_k100" in out["stale_reason"]
+
+
+@pytest.mark.quick
+def test_fresh_metrics_win_over_cache(tmp_path, capsys, monkeypatch):
+    bench = _load_bench()
+    cache = tmp_path / "cache.json"
+    cache.write_text(json.dumps({"value": 1.0, "metric": "m",
+                                 "unit": "u", "vs_baseline": 0.1}))
+    monkeypatch.setattr(bench, "LAST_RESULT_PATH", str(cache))
+    bench.RESULT.clear()
+    bench.RESULT.update({
+        "metric": "corpus_encode_throughput_bert_base_bf16_s128",
+        "value": 6544.2, "unit": "docs/sec/chip", "vs_baseline": 8.18,
+    })
+    bench._emit()
+    out = json.loads(capsys.readouterr().out)
+    assert out["value"] == 6544.2
+    assert "stale" not in out
