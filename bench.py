@@ -528,6 +528,7 @@ def _landed(name):
 
 def main(total_budget=850):
     deadline = time.time() + total_budget
+    early_kills = {}
     for names, budget in GROUPS:
         remaining = deadline - time.time()
         if remaining < 30:
@@ -539,6 +540,10 @@ def main(total_budget=850):
         RESULT.update(data)
         if err is not None:
             RESULT[names[-1] + "_group_note"] = err
+            if "no metric landed" in err:
+                for n in names:
+                    if not _landed(n):
+                        early_kills[n] = 1
         _persist()  # each metric lands durably before the next group runs
     # Solo retry sweeps for whatever a group wedge swallowed: full process
     # isolation per attempt. The compile service wedges a child's first
@@ -555,9 +560,16 @@ def main(total_budget=850):
             if remaining < 60:
                 break
             _, budget = SUBS[name]
+            # After two first-deadline kills, assume the service is SLOW
+            # rather than wedged (observed: a degraded tunnel ran an 8x8
+            # matmul in 95s — every RPC crawls but progresses) and give
+            # the child its full budget uninterrupted.
+            fd = 180 if early_kills.get(name, 0) < 2 else None
             data, err = _run_child(
-                name, int(min(budget, remaining - 10)), first_deadline=180)
+                name, int(min(budget, remaining - 10)), first_deadline=fd)
             RESULT.update(data)
+            if err is not None and "no metric landed" in err:
+                early_kills[name] = early_kills.get(name, 0) + 1
             if err is not None and not _landed(name):
                 RESULT[name + "_error"] = err
             else:
