@@ -14,12 +14,18 @@ bert-base bf16, AdamW, mlm_budget 0.17, no remat — bench.py bench_coco):
 Run on the TPU: python -u scripts/trace_coco_step.py [--trace]
 """
 import dataclasses
+import os
 import sys
 import time
 
 sys.path.insert(0, ".")
 
 import jax
+
+TINY = bool(os.environ.get("TRACE_TINY"))  # CPU smoke: tiny config
+if TINY:
+    jax.config.update("jax_platforms", "cpu")
+
 import jax.numpy as jnp
 import numpy as np
 import optax
@@ -32,14 +38,15 @@ from cocodr_tpu.models.condenser import CoCondenserForPretraining
 from cocodr_tpu.pipelines.coco import CocoConfig, build_coco_train_step
 from cocodr_tpu.utils.train_state import TrainState
 
-B, S = 128, 128
+B, S = (8, 32) if TINY else (128, 128)
 TRACE_OUT = "/tmp/coco_step_trace"
 
 
 def make_model(**kw):
-    cfg = dataclasses.replace(BertConfig(), dtype=jnp.bfloat16)
+    base = BertConfig.tiny() if TINY else BertConfig()
+    cfg = dataclasses.replace(base, dtype=jnp.bfloat16)
     kw.setdefault("n_head_layers", 2)
-    kw.setdefault("skip_from", 6)
+    kw.setdefault("skip_from", 1 if TINY else 6)
     kw.setdefault("late_mlm", True)
     kw.setdefault("mlm_budget_frac", 0.17)
     return CoCondenserForPretraining(cfg, **kw)
@@ -47,11 +54,11 @@ def make_model(**kw):
 
 def make_batch():
     rng = np.random.RandomState(0)
-    ids = jnp.asarray(rng.randint(1000, 20000, (B, S)).astype(np.int32))
+    ids = jnp.asarray(rng.randint(5, (100 if TINY else 20000), (B, S)).astype(np.int32))
     mask = jnp.ones((B, S), jnp.int32)
     labels = jnp.asarray(
         np.where(rng.rand(B, S) < 0.15,
-                 rng.randint(5, 1000, size=(B, S)), -100).astype(np.int32)
+                 rng.randint(5, (100 if TINY else 1000), size=(B, S)), -100).astype(np.int32)
     )
     return {"input_ids": ids, "attention_mask": mask, "labels": labels}
 
@@ -110,11 +117,17 @@ def main():
     row("fwd: full loss (+c_head+MLM pair+contr)", timeit(f_full, p))
 
     # --- grad ladder: full grad minus one term each --------------------
-    def grad_of(m, method_name="loss_with_contrastive"):
+    # NOTE deterministic=True here (no dropout): the shipped step runs
+    # WITH dropout, so "grad: full loss +dropout" below isolates the
+    # threefry mask-generation marginal — a prime non-matmul suspect
+    # (~600M random bits/step across 12 layers x 3 dropout sites).
+    def grad_of(m, method_name="loss_with_contrastive", dropout=False):
         def lf(p):
             out = m.apply({"params": p}, batch["input_ids"],
                           batch["attention_mask"], batch["labels"],
-                          method=getattr(m, method_name))
+                          method=getattr(m, method_name),
+                          deterministic=not dropout,
+                          rngs={"dropout": key} if dropout else None)
             loss = out[0] if isinstance(out, tuple) else out
             return loss
 
@@ -123,6 +136,23 @@ def main():
     g_full = grad_of(model)
     full_params = state.params
     row("grad: full loss", timeit(g_full, full_params))
+    row("grad: full loss +dropout",
+        timeit(grad_of(model, dropout=True), full_params))
+    # candidate fix: key the dropout stream with the TPU hardware RNG
+    # (rbg) instead of threefry — same distribution, no crypto-grade
+    # mask-bit cost; the reference's masks are torch RNG anyway, so no
+    # parity constraint on the bits themselves
+    rbg_key = jax.random.key(0, impl="rbg")
+
+    def g_rbg(p):
+        loss, aux = model.apply(
+            {"params": p}, batch["input_ids"], batch["attention_mask"],
+            batch["labels"], method=model.loss_with_contrastive,
+            deterministic=False, rngs={"dropout": rbg_key})
+        return loss
+
+    row("grad: full loss +dropout(rbg)",
+        timeit(jax.jit(lambda p: jax.grad(g_rbg)(p)), full_params))
 
     # no contrastive (plain Condenser __call__ loss)
     row("grad: -contrastive (MLM pair only)",
@@ -169,6 +199,7 @@ def main():
     print(f"  backbone fwd                 {d['fwd: backbone only (cls_emb)']:8.2f}")
     print(f"  heads+losses fwd             {fwd - d['fwd: backbone only (cls_emb)']:8.2f}")
     print(f"  backward (grad - fwd)        {grad - fwd:8.2f}")
+    print(f"  dropout (threefry) marginal  {d['grad: full loss +dropout'] - grad:8.2f}")
     print(f"  contrastive marginal         {grad - d['grad: -contrastive (MLM pair only)']:8.2f}")
     print(f"  late_mlm marginal            {grad - d['grad: -late_mlm (head MLM only)']:8.2f}")
     print(f"  c_head marginal              {grad - d['grad: -c_head (0 head layers)']:8.2f}")
