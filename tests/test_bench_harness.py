@@ -99,6 +99,56 @@ def test_emit_falls_back_to_cache_with_stale_flag(tmp_path, capsys,
 
 
 @pytest.mark.quick
+def test_scheduler_retries_missing_subs_and_escalates(tmp_path, capsys,
+                                                      monkeypatch):
+    """main() scheduling contract, no processes: a group child that dies
+    after landing only its first sub triggers solo retries for the rest;
+    a sub killed twice at the first-metric deadline escalates to an
+    uninterrupted attempt (first_deadline=None) — the slow-not-wedged
+    path observed under tunnel degradation."""
+    bench = _load_bench()
+    monkeypatch.setattr(bench, "LAST_RESULT_PATH",
+                        str(tmp_path / "cache.json"))
+    calls = []
+
+    def fake_run_child(name, budget, first_deadline=None):
+        calls.append((name, first_deadline))
+        if "," in name:  # group: land only encode's keys, then "die"
+            if name.startswith("encode"):
+                return ({"metric": "m", "value": 1.0, "unit": "u",
+                         "vs_baseline": 1.0},
+                        "killed: no metric landed in 210s")
+            return {}, "killed: no metric landed in 210s"
+        # solo retries: train stays silent twice (first-deadline kills),
+        # lands on the uninterrupted third attempt; others land at once
+        key = bench.SUB_KEYS[name][0]
+        if name == "train":
+            n = sum(1 for c, _ in calls if c == "train")
+            if n <= 2:
+                return {}, "killed: no metric landed in 180s"
+            assert first_deadline is None, (
+                "third train attempt must run uninterrupted")
+        out = {k: 42.0 for k in bench.SUB_KEYS[name]}
+        if name == "encode":
+            out.update({"metric": "m", "unit": "u", "vs_baseline": 1.0})
+        return out, None
+
+    monkeypatch.setattr(bench, "_run_child", fake_run_child)
+    bench.RESULT.clear()
+    bench.main(total_budget=100000)
+    out = json.loads(capsys.readouterr().out)
+    for name, keys in bench.SUB_KEYS.items():
+        for k in keys:
+            assert k in out, f"{name} metric {k} missing from final emit"
+    assert "stale" not in out
+    assert not any(k.endswith("_error") for k in out)
+    # groups ran first, in order (the serve group is a single name, so
+    # compare the first len(GROUPS) calls verbatim)
+    expected = [",".join(n) for n, _ in bench.GROUPS]
+    assert [c for c, _ in calls[:len(expected)]] == expected
+
+
+@pytest.mark.quick
 def test_fresh_metrics_win_over_cache(tmp_path, capsys, monkeypatch):
     bench = _load_bench()
     cache = tmp_path / "cache.json"
