@@ -18,12 +18,18 @@ Two variants:
 Run on the TPU: python -u scripts/measure_idro_lane.py [--two-tower-only]
 """
 import dataclasses
+import os
 import sys
 import time
 
 sys.path.insert(0, ".")
 
 import jax
+
+TINY = bool(os.environ.get("LANE_TINY"))  # CPU smoke: tiny config
+if TINY:
+    jax.config.update("jax_platforms", "cpu")
+
 import jax.numpy as jnp
 import numpy as np
 
@@ -37,11 +43,12 @@ from cocodr_tpu.optim import lamb, warmup_linear
 from cocodr_tpu.pipelines.train_step import TrainStepConfig, build_train_step
 from cocodr_tpu.utils.train_state import TrainState
 
-B, SEQ, QSEQ, G, K = 64, 128, 64, 50, 3
+B, SEQ, QSEQ, G, K = (8, 16, 16, 4, 1) if TINY else (64, 128, 64, 50, 3)
 
 
 def measure(model_type, lane_forced, label):
-    cfg = dataclasses.replace(BertConfig(), dtype=jnp.bfloat16, remat=True)
+    base = BertConfig.tiny() if TINY else BertConfig()
+    cfg = dataclasses.replace(base, dtype=jnp.bfloat16, remat=True)
     model = build_dual_encoder(model_type, cfg)
     ids = jnp.ones((B, SEQ), jnp.int32)
     mask = jnp.ones((B, SEQ), jnp.int32)
