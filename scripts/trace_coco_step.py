@@ -77,6 +77,38 @@ def timeit(fn, *args, iters=8, best_of=3):
     return best * 1e3  # ms
 
 
+def timeit_loop(grad_fn, params, k_small=2, k_big=18, best_of=3):
+    """Dispatch-overhead-free per-call time: run K calls inside ONE
+    jitted lax.fori_loop (dynamic trip count — one compile) and report
+    (t(k_big) - t(k_small)) / (k_big - k_small). Each iteration chains
+    params through a numerically-inert 1e-30 * grad add so the compiler
+    can neither DCE nor overlap iterations. Robust against degraded
+    tunnel RPC latency (a constant per-dispatch cost cancels in the
+    delta); under a healthy tunnel it agrees with `timeit` minus the
+    ~ms dispatch cost."""
+
+    @jax.jit
+    def runk(p, k):
+        def body(_, p):
+            g = grad_fn(p)
+            return jax.tree_util.tree_map(
+                lambda a, b: a + jnp.asarray(1e-30, a.dtype) * b, p, g)
+
+        p = jax.lax.fori_loop(0, k, body, p)
+        return jax.tree_util.tree_leaves(p)[0].sum()
+
+    def once(k):
+        best = float("inf")
+        for _ in range(best_of):
+            t0 = time.time()
+            _ = float(runk(params, k))
+            best = min(best, time.time() - t0)
+        return best
+
+    _ = float(runk(params, 1))  # compile
+    return (once(k_big) - once(k_small)) / (k_big - k_small) * 1e3
+
+
 def main():
     print("platform:", jax.devices()[0].platform, flush=True)
     batch = make_batch()
@@ -121,23 +153,22 @@ def main():
     # WITH dropout, so "grad: full loss +dropout" below isolates the
     # threefry mask-generation marginal — a prime non-matmul suspect
     # (~600M random bits/step across 12 layers x 3 dropout sites).
-    def grad_of(m, method_name="loss_with_contrastive", dropout=False):
+    def grad_row(name, m, method_name="loss_with_contrastive",
+                 dropout=False, params=None):
         def lf(p):
             out = m.apply({"params": p}, batch["input_ids"],
                           batch["attention_mask"], batch["labels"],
                           method=getattr(m, method_name),
                           deterministic=not dropout,
                           rngs={"dropout": key} if dropout else None)
-            loss = out[0] if isinstance(out, tuple) else out
-            return loss
+            return out[0] if isinstance(out, tuple) else out
 
-        return jax.jit(lambda p: jax.grad(lf)(p))
+        row(name, timeit_loop(jax.grad(lf),
+                              full_params if params is None else params))
 
-    g_full = grad_of(model)
     full_params = state.params
-    row("grad: full loss", timeit(g_full, full_params))
-    row("grad: full loss +dropout",
-        timeit(grad_of(model, dropout=True), full_params))
+    grad_row("grad: full loss", model)
+    grad_row("grad: full loss +dropout", model, dropout=True)
     # candidate fix: key the dropout stream with the TPU hardware RNG
     # (rbg) instead of threefry — same distribution, no crypto-grade
     # mask-bit cost; the reference's masks are torch RNG anyway, so no
@@ -152,45 +183,46 @@ def main():
         return loss
 
     row("grad: full loss +dropout(rbg)",
-        timeit(jax.jit(lambda p: jax.grad(g_rbg)(p)), full_params))
+        timeit_loop(jax.grad(g_rbg), full_params))
 
     # no contrastive (plain Condenser __call__ loss)
-    row("grad: -contrastive (MLM pair only)",
-        timeit(grad_of(model, "__call__"), full_params))
+    grad_row("grad: -contrastive (MLM pair only)", model, "__call__")
 
     # no late_mlm (single MLM loss on c_head)
-    m2 = make_model(late_mlm=False)
-    row("grad: -late_mlm (head MLM only)", timeit(grad_of(m2), full_params))
+    grad_row("grad: -late_mlm (head MLM only)", make_model(late_mlm=False))
 
     # no c_head (0 head layers; MLM pair on [CLS,skip] concat directly)
-    m3 = make_model(n_head_layers=0)
     p3 = {k: v for k, v in full_params.items()
           if not k.startswith("c_head")}
-    row("grad: -c_head (0 head layers)", timeit(grad_of(m3), p3))
+    grad_row("grad: -c_head (0 head layers)", make_model(n_head_layers=0),
+             params=p3)
 
     # dense MLM decoder (budget off) — is the 0.17 gather still paying?
-    m4 = make_model(mlm_budget_frac=1.0)
-    row("grad: dense MLM decoder (budget off)",
-        timeit(grad_of(m4), full_params))
+    grad_row("grad: dense MLM decoder (budget off)",
+             make_model(mlm_budget_frac=1.0))
 
     # --- full shipped step (grad + clip + adamw) -----------------------
     step = build_coco_train_step(model, tx, CocoConfig(max_seq_length=S))
 
-    def run_step(state):
-        s2, m = step(state, batch, key)
-        return s2, m
+    @jax.jit
+    def run_steps(state, k):
+        def body(_, s):
+            s2, _m = step(s, batch, key)
+            return s2
+        s = jax.lax.fori_loop(0, k, body, state)
+        return s.step
 
-    s2, m = step(state, batch, key)
-    _ = float(m["loss"])
-    best = float("inf")
-    for _ in range(3):
-        t0 = time.time()
-        s = state
-        for _ in range(8):
-            s, m = step(s, batch, key)
-        _ = float(m["loss"])
-        best = min(best, (time.time() - t0) / 8)
-    row("FULL STEP (shipped: grad+clip+adamw)", best * 1e3)
+    _ = int(run_steps(state, 1))  # compile
+    def steps_t(k, best_of=3):
+        best = float("inf")
+        for _ in range(best_of):
+            t0 = time.time()
+            _ = int(run_steps(state, k))
+            best = min(best, time.time() - t0)
+        return best
+
+    row("FULL STEP (shipped: grad+clip+adamw)",
+        (steps_t(18) - steps_t(2)) / 16 * 1e3)
 
     print("\nmarginals (ms):", flush=True)
     d = dict(rows)
