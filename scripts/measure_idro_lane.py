@@ -80,14 +80,28 @@ def measure(model_type, lane_forced, label):
     state, m = step(state, batch)
     _ = float(m["loss"])
     compile_s = time.time() - t0
-    best = float("inf")
-    iters = 5
-    for _ in range(3):
-        t0 = time.time()
-        for _ in range(iters):
-            state, m = step(state, batch)
-        _ = float(m["loss"])
-        best = min(best, (time.time() - t0) / iters)
+
+    # dispatch-free loop-delta timing (see trace_coco_step.timeit_loop):
+    # K steps inside one jitted fori_loop; constant tunnel-RPC overhead
+    # cancels in (t(K2)-t(K1))/(K2-K1)
+    @jax.jit
+    def runk(s, k):
+        def body(_, s):
+            s2, _m = step(s, batch)
+            return s2
+        return jax.lax.fori_loop(0, k, body, s).step
+
+    _ = int(runk(state, 1))  # compile the loop wrapper
+
+    def once(k, best_of=3):
+        best = float("inf")
+        for _ in range(best_of):
+            t0 = time.time()
+            _ = int(runk(state, k))
+            best = min(best, time.time() - t0)
+        return best
+
+    best = (once(10) - once(2)) / 8
     print(f"{label:42s} compile {compile_s:6.1f}s   step "
           f"{best*1e3:8.1f} ms   {B/best:7.1f} tri/s", flush=True)
     return compile_s, best
