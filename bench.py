@@ -252,7 +252,11 @@ def bench_coco(key, batch=128, seq=128, iters=8):
     batch_d = jax.device_put(
         {"input_ids": ids, "attention_mask": mask, "labels": labels}
     )
-    rng_key = jax.random.PRNGKey(0)
+    # rbg dropout keys: the shipped default (cli --dropout-rng). Device
+    # trace: threefry mask generation cost 42.6 ms of the 169 ms step at
+    # B=128 — 24% of the whole step; the TPU hardware RNG halves that
+    # (scripts/trace_coco_step.py, docs/performance.md round 5).
+    rng_key = jax.random.key(0, impl="rbg")
     state, m = step(state, batch_d, rng_key)
     _ = float(m["loss"])
     best = float("inf")

@@ -861,7 +861,7 @@ def cmd_coco(args):
         state,
         step,
         batches,
-        jax.random.PRNGKey(args.seed),
+        jax.random.key(args.seed, impl=args.dropout_rng),
         max_steps=args.max_steps,
         log_fn=log_fn,
         ckpt_dir=args.ckpt_dir,
@@ -1433,6 +1433,14 @@ def main(argv=None):
     sp.add_argument("--max-steps", type=int, default=1000000)
     sp.add_argument("--save-steps", type=int, default=10000)
     sp.add_argument("--seed", type=int, default=0)
+    sp.add_argument("--dropout-rng", default="rbg",
+                    choices=["rbg", "threefry2x32"],
+                    help="dropout PRNG impl. rbg (default) uses the TPU "
+                         "hardware RNG: device-measured -24%% step time vs "
+                         "threefry at B=128 (docs/performance.md 'COCO "
+                         "step (round 5)'); mask distribution identical, "
+                         "bit stream differs (the reference's masks are "
+                         "torch RNG anyway)")
     sp.add_argument("--no-resume", action="store_true")
     sp.add_argument("--async-checkpoint", action="store_true",
                     help="non-blocking checkpoint writes (AsyncSaver)")

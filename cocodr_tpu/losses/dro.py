@@ -137,6 +137,8 @@ def per_group_grads(
     pullback: Callable,
     groups: jnp.ndarray,
     n_groups: int,
+    lane_chunk: int = 0,
+    store_dtype=None,
 ):
     """Per-group-mean-loss gradients via one vmapped VJP.
 
@@ -145,6 +147,14 @@ def per_group_grads(
     backward passes sharing one graph. Here: `pullback` is the jax.vjp
     pullback of `params_lastk -> per_sample_losses [B]`; group i's cotangent
     is 1[g=b==i]/count_i, and vmap batches all G pullbacks into one pass.
+
+    lane_chunk > 0 bounds memory: a lax.map over ceil(G/chunk) chunks of a
+    chunk-wide vmap. One flat vmap of G=50 K=3-layer bert-base backwards
+    does not fit (device-measured: the compile helper OOMs at B=64); the
+    chunked form trades nothing but a scan carry — the math is identical.
+    store_dtype (e.g. bf16) casts each lane's flattened grads for the [G,P]
+    buffer, halving its HBM (4.2GB f32 at base K=3 G=50); the downstream
+    Gram/normalization math still runs in f32 (idro_loss casts).
 
     Returns grads flattened per group: [G, P].
     """
@@ -156,7 +166,16 @@ def per_group_grads(
     def pull_one(ct):
         (grads,) = pullback(ct)
         flat, _ = jax.flatten_util.ravel_pytree(grads)
-        return flat
+        return flat.astype(store_dtype) if store_dtype is not None else flat
+
+    if lane_chunk and lane_chunk < n_groups:
+        n_chunks = -(-n_groups // lane_chunk)
+        pad = n_chunks * lane_chunk - n_groups
+        ct = jnp.pad(cotangents, ((0, pad), (0, 0)))
+        out = jax.lax.map(
+            jax.vmap(pull_one), ct.reshape(n_chunks, lane_chunk, B)
+        )  # [n_chunks, chunk, P]
+        return out.reshape(n_chunks * lane_chunk, -1)[:n_groups]
 
     return jax.vmap(pull_one)(cotangents)  # [G, P]
 
@@ -226,8 +245,13 @@ def idro_loss(
             gl_agg = jax.lax.stop_gradient(gl)
         grads = jax.lax.stop_gradient(grads)
 
-        gnorm = jnp.linalg.norm(grads, axis=-1, keepdims=True)
-        grads = grads / (1e-12 + gnorm)
+        # Rows may be stored bf16 (per_group_grads store_dtype). Norms
+        # accumulate in f32 via a fused square-sum reduction (no f32
+        # [G,P] materialization); normalized rows stay in the storage
+        # dtype and the Gram matmul accumulates f32 on the MXU.
+        gnorm = jnp.sqrt(jnp.sum(
+            jnp.square(grads.astype(jnp.float32)), axis=-1, keepdims=True))
+        grads = grads / (1e-12 + gnorm).astype(grads.dtype)
         rtg = jnp.matmul(grads, grads.T, preferred_element_type=jnp.float32)
     glp = jnp.power(gl_agg, cfg.alpha)[:, None]
     rtg = (glp @ glp.T) * rtg

@@ -61,6 +61,14 @@ class TrainStepConfig:
     # group count — see scripts/idro_cost_probe.py). Equivalence is tested
     # in tests/test_train_step.py::test_idro_group_pass_variants_match.
     idro_lane_group_pass: bool = False
+    # Lane-pass memory bounds: lanes are vmapped in chunks of this many
+    # (lax.map over chunks) — one flat vmap of G=50 K=3-layer bert-base
+    # backwards OOMs the compiler at B=64 (device-measured, round 5) —
+    # and each lane's flattened [P] grads are stored in this dtype
+    # ([G,P] is 4.2GB f32 at base K=3 G=50; bf16 halves it, the Gram /
+    # normalization math stays f32). 0 = flat vmap (small-G / tests).
+    idro_lane_chunk: int = 8
+    idro_lane_grad_dtype: str = "bfloat16"
 
 
 def _embed_triplet(model, params, batch, dropout_rng=None):
@@ -557,7 +565,11 @@ def _build_idro_lane_step(
             return l
 
         _, pull_top = jax.vjp(top_losses, diff)
-        gg = per_group_grads(pull_top, batch["groups"], G)
+        gg = per_group_grads(
+            pull_top, batch["groups"], G,
+            lane_chunk=cfg.idro_lane_chunk,
+            store_dtype=jnp.dtype(cfg.idro_lane_grad_dtype),
+        )
 
         robust, dstate, (gl, gc) = idro_loss(
             losses, batch["groups"], state.extra, cfg.dro, gg

@@ -194,18 +194,26 @@ def test_idro_group_pass_variants_match():
     tx = lamb(warmup_linear(5e-4, 2, 100))
 
     results = []
-    for lane in (False, True):
+    # lane variants: f32 grad rows flat-vmapped (exact-equivalence
+    # reference), plus the SHIPPED lane config — chunked lanes + bf16 row
+    # storage (memory bounds that make G=50 bert-base compile, round 5)
+    variants = [
+        dict(idro_lane_group_pass=False),
+        dict(idro_lane_group_pass=True, idro_lane_chunk=0,
+             idro_lane_grad_dtype="float32"),
+        dict(idro_lane_group_pass=True, idro_lane_chunk=3),
+    ]
+    for kw in variants:
         state = TrainState.create(params, tx, extra=idro_init(dro))
         step = build_train_step(
             model, tx,
             TrainStepConfig(
-                loss_kind="idro", dro=dro, idro_last_k_layers=1,
-                idro_lane_group_pass=lane,
+                loss_kind="idro", dro=dro, idro_last_k_layers=1, **kw
             ),
         )
         state, m = step(state, batch)
         results.append((state, m))
-    (fast_s, fast_m), (full_s, full_m) = results
+    (fast_s, fast_m), (full_s, full_m), (ship_s, ship_m) = results
     np.testing.assert_allclose(
         float(fast_m["loss"]), float(full_m["loss"]), rtol=1e-6
     )
@@ -218,6 +226,15 @@ def test_idro_group_pass_variants_match():
             np.asarray(a), np.asarray(b), rtol=2e-4, atol=1e-6
         ),
         fast_s.params, full_s.params,
+    )
+    # shipped lane config: bf16 rows only touch the h_fun statistic (the
+    # chunking itself is exact) — bounded drift, same robust loss
+    np.testing.assert_allclose(
+        float(ship_m["loss"]), float(fast_m["loss"]), rtol=1e-6
+    )
+    np.testing.assert_allclose(
+        np.asarray(ship_s.extra.h_fun), np.asarray(fast_s.extra.h_fun),
+        rtol=3e-3,
     )
 
 
