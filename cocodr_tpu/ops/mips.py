@@ -304,6 +304,24 @@ def resolve_search_method(method: str, refine: bool = True,
     return method
 
 
+def clamp_q_chunk(q_chunk: int, n_docs: int, dim: int,
+                  hbm_budget: int = 15_000_000_000) -> int:
+    """Scale-aware query-chunk clamp for the pallas search kernels.
+
+    The hierarchical/fast kernels keep per-query fine/coarse block maxima
+    of ~n_docs/2 bytes per query alongside the bf16 corpus. At MARCO
+    scale that buffer dominates: q_chunk=4096 over 8.8M docs asks for a
+    36GB f32[17272, 4096, 64] maxima tensor and the compile OOMs
+    (device-observed, round-5 rehearsal — scripts/rehearse_marco_mine.py)
+    while q_chunk=256 runs at 6.7k QPS (scripts/bench_marco_scale.py).
+    Clamp so corpus + maxima fit the budget; multiples of 128, floor 128.
+    Small corpora are unaffected (1M docs -> no clamp at 4096)."""
+    free = hbm_budget - n_docs * dim * 2
+    q_fit = int(free // max(n_docs // 2, 1))
+    q_fit = max(128, (q_fit // 128) * 128)
+    return min(q_chunk, q_fit)
+
+
 def mips_topk_chunked_queries(
     queries, corpus, k, q_chunk: int = 4096, refine: bool = True,
     oversample: int = 2, method: str = "auto", **kw
@@ -331,6 +349,8 @@ def mips_topk_chunked_queries(
     method = resolve_search_method(
         method, refine=refine, exact_fp32=bool(kw.get("exact_fp32"))
     )
+    if method in ("pallas", "exact2", "fast"):
+        q_chunk = clamp_q_chunk(q_chunk, corpus.shape[0], corpus.shape[1])
 
     out_v, out_i = [], []
     for s in range(0, queries.shape[0], q_chunk):

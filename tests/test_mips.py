@@ -159,3 +159,19 @@ def test_chunked_queries_fast_falls_back_off_tpu():
     s = q @ c.T
     ref = np.argsort(-s, axis=1)[:, :5]
     assert np.array_equal(np.sort(i, 1), np.sort(ref, 1))
+
+
+def test_clamp_q_chunk_marco_scale():
+    """Round-5 rehearsal regression: q_chunk=4096 over the 8.8M-doc MARCO
+    corpus compiles a 36GB fine-maxima tensor (f32[17272,4096,64]) and
+    OOMs; the scale-aware clamp must route large corpora to the
+    measured-good chunk (256 at 8.8M — scripts/bench_marco_scale.py)
+    while leaving small corpora untouched."""
+    from cocodr_tpu.ops.mips import clamp_q_chunk
+
+    assert clamp_q_chunk(4096, 1_048_576, 768) == 4096
+    assert clamp_q_chunk(4096, 8_841_823, 768) == 256
+    assert clamp_q_chunk(4096, 16_400_000, 768) == 128
+    # never above the requested chunk, never below the 128 floor
+    assert clamp_q_chunk(512, 8_841_823, 768) == 256
+    assert clamp_q_chunk(4096, 50_000_000, 768) == 128
