@@ -268,6 +268,25 @@ def mine(
             _prune_emb_cache(cfg.emb_cache_dir, cfg.emb_cache_keep)
     _mark("corpus_encode")
 
+    # TPU search prep: cast the host-f32 embeddings to bf16 ONCE and put
+    # them device-resident before the dev + train searches. Passing host
+    # f32 into the per-chunk search jit needs a full on-device f32->bf16
+    # conversion temp (12.65GB at 8.8M docs — the compile OOMs alongside
+    # the 13.5GB bf16 corpus; round-5 rehearsal) and would re-transfer
+    # per call. The pallas kernels sweep bf16 regardless, so this is
+    # numerically identical for the TPU path; CPU/fp32-parity paths keep
+    # the f32 host array (mesh-sharded search shards host arrays itself).
+    if (not cfg.exact_fp32 and mesh is None
+            and getattr(corpus_emb, "dtype", None) == np.float32):
+        import jax
+
+        if jax.devices()[0].platform == "tpu":
+            import ml_dtypes
+
+            corpus_emb = jax.device_put(
+                corpus_emb.astype(ml_dtypes.bfloat16))
+    _mark("corpus_to_device")
+
     def rows_to_docs(top):
         if row2doc is None:
             return top
