@@ -89,15 +89,18 @@ def measure(model_type, lane_forced, label):
         def body(_, s):
             s2, _m = step(s, batch)
             return s2
-        return jax.lax.fori_loop(0, k, body, s).step
+        s = jax.lax.fori_loop(0, k, body, s)
+        # consume a PARAM leaf, not s.step: the counter is state.step + k,
+        # so returning it lets XLA DCE the entire loop body
+        return jax.tree_util.tree_leaves(s.params)[0].sum()
 
-    _ = int(runk(state, 1))  # compile the loop wrapper
+    _ = float(runk(state, 1))  # compile the loop wrapper
 
     def once(k, best_of=3):
         best = float("inf")
         for _ in range(best_of):
             t0 = time.time()
-            _ = int(runk(state, k))
+            _ = float(runk(state, k))
             best = min(best, time.time() - t0)
         return best
 

@@ -210,14 +210,17 @@ def main():
             s2, _m = step(s, batch, key)
             return s2
         s = jax.lax.fori_loop(0, k, body, state)
-        return s.step
+        # consume a PARAM leaf, not s.step: the step counter is computable
+        # as state.step + k, so returning it lets XLA DCE the entire body
+        return jax.tree_util.tree_leaves(s.params)[0].sum()
 
-    _ = int(run_steps(state, 1))  # compile
+    _ = float(run_steps(state, 1))  # compile
+
     def steps_t(k, best_of=3):
         best = float("inf")
         for _ in range(best_of):
             t0 = time.time()
-            _ = int(run_steps(state, k))
+            _ = float(run_steps(state, k))
             best = min(best, time.time() - t0)
         return best
 
