@@ -324,7 +324,7 @@ def clamp_q_chunk(q_chunk: int, n_docs: int, dim: int,
 
 def mips_topk_chunked_queries(
     queries, corpus, k, q_chunk: int = 4096, refine: bool = True,
-    oversample: int = 2, method: str = "auto", **kw
+    oversample: int = 2, method: str = "auto", n_real: int = 0, **kw
 ):
     """Outer loop over query chunks for very large Q (host-level loop —
     each chunk is one jit call; keeps peak memory at Q_chunk*k state).
@@ -358,7 +358,7 @@ def mips_topk_chunked_queries(
         if method == "pallas":
             from cocodr_tpu.ops.pallas_mips import mips_topk_hierarchical
 
-            v, i = mips_topk_hierarchical(qc, corpus, k)
+            v, i = mips_topk_hierarchical(qc, corpus, k, n_real=n_real)
         elif method == "exact2":
             from cocodr_tpu.ops.pallas_mips import mips_topk_exact2
 
@@ -366,7 +366,7 @@ def mips_topk_chunked_queries(
         elif method == "fast":
             from cocodr_tpu.ops.pallas_mips import mips_topk_fast
 
-            v, i = mips_topk_fast(qc, corpus, k)
+            v, i = mips_topk_fast(qc, corpus, k, n_real=n_real)
         elif method == "blockmax":
             v, i = mips_topk_blockmax(
                 qc, corpus, k, tile=min(kw.get("tile", 16384) * 4, 65536)

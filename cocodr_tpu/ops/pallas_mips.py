@@ -490,6 +490,7 @@ def _pad_replicate(corpus, multiple):
     jax.jit,
     static_argnames=(
         "k", "tile", "fine", "coarse", "q_tile", "supers", "interpret",
+        "n_real",
     ),
 )
 def mips_topk_hierarchical(
@@ -502,6 +503,7 @@ def mips_topk_hierarchical(
     q_tile: int = 1024,  # measured ~2% faster than 512 (best-of-5 A/B)
     supers: int = 8,  # super block = fine * coarse * supers rows (1 = off)
     interpret: bool = False,
+    n_real: int = 0,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Exact top-k with a three-level block hierarchy — the fast path.
 
@@ -528,6 +530,14 @@ def mips_topk_hierarchical(
     """
     Q, D = queries.shape
     N = corpus.shape[0]
+    if n_real:
+        # pre-padded corpus (pad rows replicate the last real row, see
+        # _pad_replicate): avoids the kernel's own pad making a SECOND
+        # full on-device copy — a 12.65GB HLO temp at MARCO scale, where
+        # 8,841,823 rows are not tile-aligned (round-5 rehearsal OOM).
+        # All masking below keys on the REAL row count.
+        assert n_real <= N, (n_real, N)
+        N = n_real
     k = min(k, N)
     cb = fine * coarse
     # don't pad small query batches up to a full q_tile: the fine-maxima
@@ -623,6 +633,7 @@ def mips_topk_hierarchical(
     jax.jit,
     static_argnames=(
         "k", "tile", "fine", "coarse", "q_tile", "supers", "interpret",
+        "n_real",
     ),
 )
 def mips_topk_fast(
@@ -635,6 +646,7 @@ def mips_topk_fast(
     q_tile: int = 1024,  # see mips_topk_hierarchical
     supers: int = 8,
     interpret: bool = False,
+    n_real: int = 0,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Rescore-free approximate top-k: block-argmax search.
 
@@ -655,6 +667,9 @@ def mips_topk_fast(
     """
     Q, D = queries.shape
     N = corpus.shape[0]
+    if n_real:
+        assert n_real <= N, (n_real, N)  # see mips_topk_hierarchical
+        N = n_real
     k = min(k, N)
     cb = fine * coarse
     assert fine <= 8, "argmax packing uses 3 mantissa bits"

@@ -144,7 +144,8 @@ def mips_topk_sharded(queries, corpus, k: int, mesh, q_chunk: int = 4096,
 
 def search_topk(queries, corpus, k: int, mesh=None, q_chunk: int = 4096,
                 tile: int = 16384, exact_fp32: bool = False,
-                method: str = "auto", ivf_index=None, ivf_nprobe: int = 32):
+                method: str = "auto", ivf_index=None, ivf_nprobe: int = 32,
+                n_real: int = 0):
     """Mesh-aware search dispatch for the mining/eval pipelines: sharded
     cross-device search when a >1-device data mesh is given, single-device
     (pallas on TPU) otherwise.
@@ -178,5 +179,5 @@ def search_topk(queries, corpus, k: int, mesh=None, q_chunk: int = 4096,
         )
     return mips_topk_chunked_queries(
         queries, corpus, k, q_chunk=q_chunk, tile=tile,
-        exact_fp32=exact_fp32, method=method,
+        exact_fp32=exact_fp32, method=method, n_real=n_real,
     )

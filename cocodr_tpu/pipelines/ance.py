@@ -276,6 +276,7 @@ def mine(
     # per call. The pallas kernels sweep bf16 regardless, so this is
     # numerically identical for the TPU path; CPU/fp32-parity paths keep
     # the f32 host array (mesh-sharded search shards host arrays itself).
+    n_real_docs = 0
     if (not cfg.exact_fp32 and mesh is None
             and getattr(corpus_emb, "dtype", None) == np.float32):
         import jax
@@ -283,8 +284,22 @@ def mine(
         if jax.devices()[0].platform == "tpu":
             import ml_dtypes
 
-            corpus_emb = jax.device_put(
-                corpus_emb.astype(ml_dtypes.bfloat16))
+            c16 = corpus_emb.astype(ml_dtypes.bfloat16)
+            # pre-pad to the pallas kernels' 2048-row alignment
+            # (replicating the last row, _pad_replicate semantics) so the
+            # kernel's own pad is a no-op — its on-device pad copies the
+            # WHOLE corpus (a second 13.5GB HLO temp at MARCO scale,
+            # where 8,841,823 rows are not aligned; round-5 rehearsal
+            # OOM #3). n_real keeps the search masks on the real count.
+            n = c16.shape[0]
+            pad = (-n) % 2048
+            if pad:
+                n_real_docs = n
+                c16 = np.concatenate(
+                    [c16, np.broadcast_to(c16[-1:], (pad, c16.shape[1]))]
+                )
+            corpus_emb = jax.device_put(c16)
+            del c16
     _mark("corpus_to_device")
 
     def rows_to_docs(top):
@@ -307,12 +322,12 @@ def mine(
 
     # dev eval at this checkpoint (data_gen.py:306-319)
     dev_emb = encode_cache(q_enc, dev_query_cache, ecfg)
-    k = min(cfg.dev_topk, corpus_emb.shape[0])
+    k = min(cfg.dev_topk, n_real_docs or corpus_emb.shape[0])
     _, dev_top = search_topk(
         dev_emb, corpus_emb, k, mesh=mesh, q_chunk=cfg.q_chunk,
         tile=cfg.mips_tile, exact_fp32=cfg.exact_fp32,
         method=cfg.search_method, ivf_index=ivf_index,
-        ivf_nprobe=cfg.ivf_nprobe,
+        ivf_nprobe=cfg.ivf_nprobe, n_real=n_real_docs,
     )
     dev_top = rows_to_docs(dev_top)
     dev_run = run_from_topk(
@@ -336,12 +351,12 @@ def mine(
         q_enc, train_query_cache, ecfg, indices=query_ids
     )
     _mark("train_encode")
-    kt = min(cfg.topk_training, corpus_emb.shape[0])
+    kt = min(cfg.topk_training, n_real_docs or corpus_emb.shape[0])
     _, train_top = search_topk(
         train_emb, corpus_emb, kt, mesh=mesh, q_chunk=cfg.q_chunk,
         tile=cfg.mips_tile, exact_fp32=cfg.exact_fp32,
         method=cfg.search_method, ivf_index=ivf_index,
-        ivf_nprobe=cfg.ivf_nprobe,
+        ivf_nprobe=cfg.ivf_nprobe, n_real=n_real_docs,
     )
     _mark("train_search")
     negatives, mrr_scores = generate_negatives(
