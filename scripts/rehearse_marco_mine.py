@@ -106,10 +106,15 @@ def main():
         )
 
         t0 = time.time()
+        # EMB_CACHE env: persist corpus embeddings across rehearsal runs
+        # (synthetic caches are seed-deterministic, params are PRNGKey(0),
+        # so reuse is valid) — a re-run skips the ~25-min encode phase
+        cfg = MineConfig(emb_cache_dir=os.environ.get("EMB_CACHE", ""))
         metrics = mine(
             model, params, passages, train_q, positives, dev_q, dev_qrels,
             out_dir=os.path.join(d, "ann"), output_num=0,
-            cfg=MineConfig(),  # reference defaults: top-200, 30 negs, 5 splits
+            cfg=cfg,  # reference defaults: top-200, 30 negs, 5 splits
+            checkpoint_name="rehearsal-fixed-params",
         )
         total = time.time() - t0
         print(f"\nmine() end-to-end: {total:.0f}s "
